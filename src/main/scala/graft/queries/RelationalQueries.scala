@@ -1,0 +1,319 @@
+package graft.queries
+
+import graft.engine.{CleanOps, Q, Tables, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational/EDA operator suite — the reference's batch-EDA program
+  * (`/root/reference/amazon1.py:24-111`) generalized over the driver's
+  * TPC-H-ish tables (FIXTURES.md §B mapping).
+  *
+  * Scale notes (100 TB design point): every query here is a single
+  * Catalyst plan — filters/projections reach the parquet scan, numeric
+  * aggregation is partial+final hash agg in exact integer space (no
+  * double-summation nondeterminism, no precision loss), dimension joins
+  * are explicitly broadcast, and top-N is `TakeOrderedAndProject`
+  * (never a full global sort).
+  */
+object RelationalQueries {
+
+  /** T1 — global top-10 by a column with deterministic tie-break
+    * (`amazon1.py:63-64`). Catalyst plans TakeOrderedAndProject: O(N)
+    * scan + per-partition heap, no full sort even at 100 TB. */
+  val q01 = Q("q01_top_parts",
+    """SELECT p_partkey, p_name, p_brand, p_retailprice
+      |FROM part ORDER BY p_retailprice DESC, p_partkey LIMIT 10""".stripMargin) {
+    (s, dir) =>
+      Tables(s, dir, "part")
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy(desc("p_retailprice"), asc("p_partkey"))
+        .limit(10)
+  }
+
+  /** P1 — `clean_numeric_column` (`amazon1.py:42-59`) exercised on
+    * deterministically-dirtied strings built from `part` (the driver
+    * tables have no dirty numerics; the dirt patterns mirror the
+    * reference's `"₹1,099"` / `"Get"` / empty / null cases). */
+  val q02 = {
+    val priceSqlDirty = "CASE WHEN p_partkey % 10 = 0 THEN 'Get' " +
+      "WHEN p_partkey % 10 = 1 THEN NULL " +
+      "ELSE '₹' || CAST(p_partkey AS VARCHAR) || ',' || CAST(p_size AS VARCHAR) || '.5 off' END"
+    val countSqlDirty = "CASE WHEN p_partkey % 7 = 0 THEN '' " +
+      "ELSE CAST(p_size AS VARCHAR) || ',' || CAST(p_partkey AS VARCHAR) END"
+    Q("q02_clean_numeric",
+      s"""SELECT p_partkey,
+        |${CleanOps.cleanNumericSql(priceSqlDirty, allowDecimal = true)} AS clean_price,
+        |${CleanOps.cleanNumericSql(countSqlDirty, allowDecimal = false)} AS clean_count
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      val dirtyPrice = when(col("p_partkey") % 10 === 0, lit("Get"))
+        .when(col("p_partkey") % 10 === 1, lit(null).cast("string"))
+        .otherwise(concat(lit("₹"), col("p_partkey").cast("string"), lit(","),
+          col("p_size").cast("string"), lit(".5 off")))
+      val dirtyCount = when(col("p_partkey") % 7 === 0, lit(""))
+        .otherwise(concat(col("p_size").cast("string"), lit(","),
+          col("p_partkey").cast("string")))
+      Tables(s, dir, "part").select(
+        col("p_partkey"),
+        CleanOps.cleanNumeric(dirtyPrice, allowDecimal = true).as("clean_price"),
+        CleanOps.cleanNumeric(dirtyCount, allowDecimal = false).as("clean_count"))
+        .orderBy("p_partkey")
+    }
+  }
+
+  private val statCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** A2 — exact summary statistics (`amazon1.py:62` describe()):
+    * count/mean/std/min/p25/p50/p75/max per numeric column. Values are
+    * quantized to integer cents so partial+final aggregation is exact
+    * (order-independent) and matches DuckDB bit-for-bit; `percentile`
+    * (exact, interpolated) rather than `approx_percentile`
+    * (SURVEY.md §7.3). */
+  val q03 = {
+    def statSql(c: String) =
+      s"""SELECT '$c' AS col_name, count(v) AS cnt,
+        |round(CAST(sum(v) AS DOUBLE) / count(v) / 100.0, 6) AS mean,
+        |round(sqrt((CAST(sum(v * v) AS DOUBLE) - CAST(sum(v) AS DOUBLE) * CAST(sum(v) AS DOUBLE) / count(v)) / (count(v) - 1)) / 100.0, 6) AS std,
+        |CAST(min(v) AS DOUBLE) / 100.0 AS min_v,
+        |round(quantile_cont(v, 0.25) / 100.0, 6) AS p25,
+        |round(quantile_cont(v, 0.5) / 100.0, 6) AS p50,
+        |round(quantile_cont(v, 0.75) / 100.0, 6) AS p75,
+        |CAST(max(v) AS DOUBLE) / 100.0 AS max_v
+        |FROM (SELECT ${CleanOps.centsSql(c)} AS v FROM lineitem)""".stripMargin
+    Q("q03_summary_stats",
+      statCols.map(statSql).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) {
+      (s, dir) =>
+        val li = Tables(s, dir, "lineitem")
+        val parts = statCols.map { c =>
+          li.select(CleanOps.cents(col(c)).as("v"))
+            .agg(
+              count(col("v")).as("cnt"),
+              sum(col("v").cast("decimal(38,0)")).cast("double").as("sd"),
+              sum((col("v") * col("v")).cast("decimal(38,0)")).cast("double").as("ssq"),
+              min(col("v")).as("mn"), max(col("v")).as("mx"),
+              expr("percentile(v, 0.25)").as("p25r"),
+              expr("percentile(v, 0.5)").as("p50r"),
+              expr("percentile(v, 0.75)").as("p75r"))
+            .select(
+              lit(c).as("col_name"), col("cnt"),
+              round(col("sd") / col("cnt") / 100.0, 6).as("mean"),
+              round(sqrt((col("ssq") - col("sd") * col("sd") / col("cnt")) / (col("cnt") - 1)) / 100.0, 6).as("std"),
+              (col("mn").cast("double") / 100.0).as("min_v"),
+              round(col("p25r") / 100.0, 6).as("p25"),
+              round(col("p50r") / 100.0, 6).as("p50"),
+              round(col("p75r") / 100.0, 6).as("p75"),
+              (col("mx").cast("double") / 100.0).as("max_v"))
+        }
+        parts.reduce(_ unionAll _).orderBy("col_name")
+    }
+  }
+
+  private val corrPairs = Seq(
+    ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+    ("l_extendedprice", "l_discount"), ("l_discount", "l_tax"))
+
+  /** A5 — Pearson correlation matrix (`amazon1.py:97-98`), computed
+    * from exact integer moment sums (one map-side-combinable pass per
+    * pair) instead of the engines' internal `corr` so Spark and DuckDB
+    * agree bit-for-bit. Pairwise-complete NA semantics follow pandas
+    * (the driver columns are non-null so the guard is moot). */
+  val q04 = {
+    def corrSql(x: String, y: String) =
+      s"""SELECT '$x' AS x_col, '$y' AS y_col,
+        |round((count(*) * CAST(sum(x * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * CAST(sum(y) AS DOUBLE)) /
+        |(sqrt(count(*) * CAST(sum(x * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE) * CAST(sum(x) AS DOUBLE)) *
+        | sqrt(count(*) * CAST(sum(y * y) AS DOUBLE) - CAST(sum(y) AS DOUBLE) * CAST(sum(y) AS DOUBLE))), 6) AS corr_v
+        |FROM (SELECT ${CleanOps.centsSql(x)} AS x, ${CleanOps.centsSql(y)} AS y FROM lineitem)""".stripMargin
+    Q("q04_corr",
+      corrPairs.map { case (x, y) => corrSql(x, y) }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY x_col, y_col")) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val parts = corrPairs.map { case (x, y) =>
+        li.select(CleanOps.cents(col(x)).as("x"), CleanOps.cents(col(y)).as("y"))
+          .agg(
+            count(lit(1)).as("n"),
+            sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
+            sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
+            sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
+            sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
+            sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"))
+          .select(lit(x).as("x_col"), lit(y).as("y_col"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_v"))
+      }
+      parts.reduce(_ unionAll _).orderBy("x_col", "y_col")
+    }
+  }
+
+  /** A7 — equal-width histogram, 20 bins over [min, max]
+    * (`amazon1.py:91-92`). The 1-row min/max aggregate is
+    * broadcast-joined against the scan (no shuffle of the fact side). */
+  val q05 = Q("q05_histogram",
+    s"""WITH q AS (SELECT ${CleanOps.centsSql("o_totalprice")} AS v FROM orders),
+      |m AS (SELECT min(v) AS mn, max(v) AS mx FROM q)
+      |SELECT least(CAST(floor(CAST(v - mn AS DOUBLE) / (CAST(mx - mn AS DOUBLE) / 20.0)) AS BIGINT), 19) AS bin,
+      |count(*) AS cnt FROM q, m GROUP BY bin ORDER BY bin""".stripMargin) {
+    (s, dir) =>
+      val q = Tables(s, dir, "orders").select(CleanOps.cents(col("o_totalprice")).as("v"))
+      val m = q.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      q.crossJoin(broadcast(m))
+        .select(least(floor((col("v") - col("mn")).cast("double") /
+          ((col("mx") - col("mn")).cast("double") / 20.0)).cast("long"), lit(19L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt"))
+        .orderBy("bin")
+  }
+
+  /** A1 — distinct values of a low-cardinality column
+    * (`amazon1.py:31-32`). */
+  val q06 = Q("q06_distinct",
+    "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority") {
+    (s, dir) =>
+      Tables(s, dir, "orders").select("o_orderpriority").distinct()
+        .orderBy("o_orderpriority")
+  }
+
+  /** F2/A3 — duplicate-group accounting (`amazon1.py:119-122`): group
+    * count + deterministic keep-first representative (min orderkey)
+    * per key, the engine's dedup-keep-first rule (SURVEY.md §7.4.1). */
+  val q07 = Q("q07_dedup_groups",
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |min(l_orderkey) AS first_orderkey
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), min(col("l_orderkey")).as("first_orderkey"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** P2/P3 — derived discount columns with null-guard + clamp
+    * (`amazon1.py:87-89`): pure scalar IEEE chains, identical op order
+    * in both dialects → bit-identical without rounding. */
+  val q08 = Q("q08_discount_derive",
+    """SELECT l_orderkey, l_linenumber,
+      |l_extendedprice AS actual_price,
+      |l_extendedprice * (1.0 - l_discount) AS discounted_price,
+      |l_extendedprice - l_extendedprice * (1.0 - l_discount) AS discount_diff,
+      |least(greatest(coalesce((l_extendedprice - l_extendedprice * (1.0 - l_discount)) / nullif(l_extendedprice, 0.0) * 100.0, 0.0), 0.0), 100.0) AS discount_pct
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) {
+    (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val discounted = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      val diff = col("l_extendedprice") - discounted
+      li.select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice").as("actual_price"),
+        discounted.as("discounted_price"),
+        diff.as("discount_diff"),
+        CleanOps.fillClamp(
+          diff / nullif(col("l_extendedprice"), lit(0.0)) * 100.0,
+          0.0, 0.0, 100.0).as("discount_pct"))
+        .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** A6 — word frequency over `documents.text` (`amazon1.py:104-106`
+    * wordcloud input): explode + filter + hash agg + TakeOrdered. */
+  val q09 = Q("q09_word_freq",
+    s"""SELECT word, count(*) AS cnt FROM (
+      |SELECT unnest(${TextOps.tokensSql("text")}) AS word FROM documents)
+      |WHERE word NOT IN ${TextOps.StopWordsSql}
+      |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin) {
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("word"))
+        .filter(!col("word").isin(TextOps.StopWords: _*))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("word")).limit(50)
+  }
+
+  /** J — multi-table star join: revenue per region/nation. Fact-side
+    * shuffle join on orderkey; all three dimension joins broadcast
+    * (the 100 TB plan: only one shuffle, on the biggest key). Revenue
+    * aggregated as exact integer cents. */
+  val q10 = Q("q10_revenue_by_nation",
+    s"""SELECT r_name, n_name, count(DISTINCT o_orderkey) AS n_orders,
+      |round(CAST(sum(${CleanOps.centsSql("(l_extendedprice * (1.0 - l_discount))")}) AS DOUBLE) / 100.0, 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) {
+    (s, dir) =>
+      val li = Tables(s, dir, "lineitem").select(col("l_orderkey"),
+        CleanOps.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val n = Tables(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val r = Tables(s, dir, "region").select("r_regionkey", "r_name")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum(col("rev_c").cast("decimal(38,0)")).cast("double") / 100.0, 2).as("revenue"))
+        .orderBy("r_name", "n_name")
+  }
+
+  /** T3-general — per-group top-k via ranking window
+    * (`amazon1.py:143-159` generalized): top-3 orders per customer,
+    * deterministic tie-break on orderkey. */
+  val q11 = Q("q11_top_orders_per_cust",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |SELECT o_custkey, o_orderkey, o_totalprice,
+      |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) {
+    (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+  }
+
+  /** F3 — substring-match filter (`amazon1.py:185-189`,
+    * case-sensitive per the Python side — SURVEY.md §2.3 divergence
+    * note). */
+  val q12 = Q("q12_substring_filter",
+    """SELECT p_partkey, p_name, p_retailprice FROM part
+      |WHERE instr(p_name, 'red') > 0 ORDER BY p_partkey""".stripMargin) {
+    (s, dir) =>
+      Tables(s, dir, "part")
+        .select("p_partkey", "p_name", "p_retailprice")
+        .filter(instr(col("p_name"), "red") > 0)
+        .orderBy("p_partkey")
+  }
+
+  /** Anti join — parts with no heavy shipment (left_anti; planned as
+    * broadcast/shuffled hash anti at scale). */
+  val q13 = Q("q13_anti_join",
+    """SELECT p_partkey, p_name FROM part
+      |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 45.0)
+      |ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+    val heavy = Tables(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45.0).select("l_partkey")
+    Tables(s, dir, "part").select("p_partkey", "p_name")
+      .join(heavy, col("p_partkey") === col("l_partkey"), "left_anti")
+      .orderBy("p_partkey")
+  }
+
+  /** Semi join — customers having at least one high-value order
+    * (left_semi = SQL IN/EXISTS). */
+  val q14 = Q("q14_semi_join",
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    val big = Tables(s, dir, "orders")
+      .filter(col("o_totalprice") > 400000.0).select("o_custkey")
+    Tables(s, dir, "customer").select("c_custkey", "c_name", "c_acctbal")
+      .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+      .orderBy("c_custkey")
+  }
+
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14)
+}
