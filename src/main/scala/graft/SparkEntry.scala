@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    RelationalQueries.all ++ TextQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

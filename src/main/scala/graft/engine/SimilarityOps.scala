@@ -78,7 +78,7 @@ object SimilarityOps {
       .select(col("i"), col("j"), (col("dot").cast("double") /
         (sqrt(col("n2i").cast("double")) * sqrt(col("n2j").cast("double")))).as("cos"))
     val w = Window.partitionBy(col("i")).orderBy(desc("cos"), asc("j"))
-    sims.withColumn("rn", row_number().over(w))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col("i"), col("j"), col("rn"), round(col("cos"), 6).as("cos"))
   }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import graft.dedup.DedupOps
+import graft.engine.{Q, SimilarityOps, Tables, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents` — exact, MinHash, LSH-banded
+  * near-dup, SimHash, and n-gram Jaccard (north-star training-data
+  * operators; see [[graft.dedup.DedupOps]] for the scale rationale).
+  */
+object DedupQueries {
+
+  /** Exact dedup by normalized-text fingerprint: keep-first (min
+    * doc_id) per md5 group — the content-hash generalization of the
+    * reference's whole-row `drop_duplicates`
+    * (`/root/reference/amazon1.py:119-122`). */
+  val q20 = Q("q20_dedup_exact",
+    s"""SELECT md5(${TextOps.normalizeSql("text")}) AS fp,
+      |min(doc_id) AS keep_id, count(*) AS n_docs
+      |FROM documents GROUP BY fp ORDER BY fp""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(md5(TextOps.normalize(col("text")).cast("binary")).as("fp"),
+        col("doc_id"))
+      .groupBy("fp")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy("fp")
+  }
+
+  /** MinHash signatures (16 seeds) over word-3-gram shingles. */
+  val q21 = Q("q21_minhash",
+    s"""WITH sh AS (${DedupOps.shinglesSql("documents")})
+      |${DedupOps.minhashSignaturesSql("sh")}
+      |ORDER BY doc_id, h""".stripMargin) { (s, dir) =>
+    DedupOps.minhashSignatures(DedupOps.shingles(Tables(s, dir, "documents")))
+      .orderBy("doc_id", "h")
+  }
+
+  /** LSH-banded near-dup detection over the augmented corpus:
+    * candidates from 4-band bucket collisions, then exact-Jaccard
+    * verification of candidates only, threshold 0.5. The scale path —
+    * cost is bounded by bucket collisions, never all-pairs. */
+  val q22 = Q("q22_lsh_neardup",
+    s"""WITH docs AS (${DedupOps.augmentedSql}),
+      |sh AS (${DedupOps.shinglesSql("docs")}),
+      |sigs AS (${DedupOps.minhashSignaturesSql("sh")}),
+      |cand AS (${DedupOps.lshCandidatesSql("sigs")}),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |SELECT c.i, c.j, count(*) AS inter FROM cand c
+      |JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j AND sb.shingle = sa.shingle
+      |GROUP BY c.i, c.j)
+      |SELECT i, j, inter, na.n AS na, nb.n AS nb,
+      |CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+      |FROM inter JOIN cnt na ON na.doc_id = i JOIN cnt nb ON nb.doc_id = j
+      |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val sh = DedupOps.shingles(DedupOps.augmented(Tables(s, dir, "documents")))
+    val cand = DedupOps.lshCandidates(DedupOps.minhashSignatures(sh))
+    DedupOps.jaccard(cand, sh)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("i", "j")
+  }
+
+  /** SimHash 64-bit signatures in long form `(doc_id, b, bit)`. */
+  val q23 = Q("q23_simhash",
+    s"""WITH tf AS (${SimilarityOps.termFreqSql(dropStopwords = false)})
+      |${DedupOps.simhashBitsSql("tf")}
+      |ORDER BY doc_id, b""".stripMargin) { (s, dir) =>
+    DedupOps.simhashBits(
+      SimilarityOps.termFreq(Tables(s, dir, "documents"), dropStopwords = false))
+      .orderBy("doc_id", "b")
+  }
+
+  /** Exact n-gram Jaccard near-dup over the augmented corpus via the
+    * shingle inverted index (ground truth for q22's LSH path);
+    * threshold 0.2. */
+  val q24 = Q("q24_ngram_jaccard",
+    s"""WITH docs AS (${DedupOps.augmentedSql}),
+      |sh AS (${DedupOps.shinglesSql("docs")}),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |SELECT sa.doc_id AS i, sb.doc_id AS j, count(*) AS inter
+      |FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+      |GROUP BY sa.doc_id, sb.doc_id)
+      |SELECT i, j, inter, na.n AS na, nb.n AS nb,
+      |CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
+      |FROM inter JOIN cnt na ON na.doc_id = i JOIN cnt nb ON nb.doc_id = j
+      |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.2
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val sh = DedupOps.shingles(DedupOps.augmented(Tables(s, dir, "documents")))
+    val a = sh.select(col("doc_id").as("i"), col("shingle"))
+    val b = sh.select(col("doc_id").as("j"), col("shingle"))
+    val pairs = a.join(b, Seq("shingle")).filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    DedupOps.jaccard(pairs, sh)
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("i", "j")
+  }
+
+  def all: Seq[Q] = Seq(q20, q21, q22, q23, q24)
+}

@@ -270,7 +270,7 @@ object RelationalQueries {
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
       Tables(s, dir, "orders")
         .select("o_custkey", "o_orderkey", "o_totalprice")
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter(col("rn") <= 3)
         .orderBy("o_custkey", "rn")
   }

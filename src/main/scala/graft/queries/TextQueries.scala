@@ -51,7 +51,7 @@ object TextQueries {
         .orderBy(desc("corpus_tf"), asc("term"))
         .limit(5000)
         .withColumn("vocab_id",
-          row_number().over(Window.orderBy(desc("corpus_tf"), asc("term"))))
+          row_number().over(Window.orderBy(desc("corpus_tf"), asc("term"))).cast("long"))
         .select("term", "corpus_tf", "vocab_id")
         .orderBy("vocab_id")
   }

@@ -30,7 +30,7 @@ class QueriesSpec extends AnyFunSuite {
     val rows = SparkEntry.queries("q18_cosine_topk")(spark, sf).collect()
     assert(rows.nonEmpty)
     for (r <- rows) {
-      val (i, j, rn, cos) = (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+      val (i, j, rn, cos) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
       assert(i != j)
       assert(rn >= 1 && rn <= 10)
       assert(cos > 0.0 && cos <= 1.0 + 1e-9)
