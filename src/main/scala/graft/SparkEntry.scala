@@ -14,7 +14,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def registry: Seq[Q] =
-    RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all
+    RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      AnnQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,141 @@
+package graft.ann
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — the
+  * north-star ANN operators (BASELINE.json; the reference's cosine
+  * machinery `/root/reference/amazon1.py:138` lifted from TF vectors to
+  * dense embeddings).
+  *
+  * Two paths, mirroring the text-similarity design:
+  *  - brute-force exact cosine top-k for a bounded query set (the
+  *    correctness baseline);
+  *  - sign-LSH (random-hyperplane) bucketing for the 100 TB scale
+  *    path: each vector hashes to a small bucket key, candidate
+  *    generation is an equi-join on the bucket, and only candidates
+  *    get exact re-ranking — cost bounded by bucket occupancy, never
+  *    all-pairs.
+  *
+  * Determinism: float dims are quantized to exact integers
+  * (`round(x * 1e6)`), so dot products and squared norms are exact
+  * integer sums (order-independent) and `cos = dot/(sqrt(na)*sqrt(nb))`
+  * is bit-identical across engines. Hyperplane weights are small
+  * integers derived from md5, so projections are exact integer sums
+  * too — both engines compute identical buckets.
+  */
+object EmbeddingOps {
+
+  val QuantScale = 1000000.0
+
+  /** 16 hyperplanes grouped into 4 hash tables of 4 planes each
+    * (OR-amplification: a pair is a candidate if it collides in ANY
+    * table — recall ≈ 1-(1-p^4)^4 instead of p^4). */
+  val NumPlanes = 16
+  val PlanesPerTable = 4
+  val Dims = 64
+
+  /** Long-form quantized embedding: `(vec_id, d, q)` with
+    * `q = round(x * 1e6)` as an exact long. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        round(col("x").cast("double") * QuantScale).cast("long").as("q"))
+
+  def quantizedSql: String =
+    s"""SELECT vec_id, d, CAST(round(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT) AS q
+       |FROM (SELECT vec_id, unnest(embedding) AS x,
+       |      unnest(range(0, len(embedding))) AS d FROM embeddings)""".stripMargin
+
+  /** Integer hyperplane weight for (plane, dim): first hex digit of
+    * `md5("plane<p>|<d>")` minus 8 → [-8, 7]. Identical to the oracle's
+    * SQL derivation because md5 is md5. */
+  def planeWeight(p: Int, d: Int): Int = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"plane$p|$d".getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    Integer.parseInt(hex.substring(0, 1), 16) - 8
+  }
+
+  def planesSql(numPlanes: Int = NumPlanes): String =
+    s"""SELECT p, d, instr('0123456789abcdef',
+       |  substr(md5('plane' || CAST(p AS VARCHAR) || '|' || CAST(d AS VARCHAR)), 1, 1)) - 9 AS wt
+       |FROM range($numPlanes) t(p), range($Dims) u(d)""".stripMargin
+
+  /** The (plane, dim) → weight relation, built driver-side (256 rows)
+    * and broadcast. */
+  def planes(spark: SparkSession, numPlanes: Int = NumPlanes): DataFrame = {
+    import spark.implicits._
+    (for (p <- 0 until numPlanes; d <- 0 until Dims)
+      yield (p.toLong, d.toLong, planeWeight(p, d).toLong))
+      .toDF("p", "d", "wt")
+  }
+
+  /** Sign-LSH bucket keys per vector, one row per hash table:
+    * `(vec_id, tbl, bucket)` where the bucket is one char per plane in
+    * the table ('1' iff the integer projection is non-negative). */
+  def buckets(spark: SparkSession, qv: DataFrame): DataFrame = {
+    val proj = qv.join(broadcast(planes(spark, NumPlanes)), Seq("d"))
+      .groupBy("vec_id", "p")
+      .agg(sum(col("wt") * col("q")).as("proj"))
+      .select(col("vec_id"),
+        floor(col("p") / PlanesPerTable).cast("long").as("tbl"),
+        (col("p") % PlanesPerTable).as("slot"),
+        when(col("proj") >= 0, lit("1")).otherwise(lit("0")).as("bit"))
+    val slotCols = (0 until PlanesPerTable).map(i =>
+      max(when(col("slot") === i, col("bit"))).as(s"b$i"))
+    proj.groupBy("vec_id", "tbl")
+      .agg(slotCols.head, slotCols.tail: _*)
+      .select(col("vec_id"), col("tbl"),
+        concat((0 until PlanesPerTable).map(i => col(s"b$i")): _*).as("bucket"))
+  }
+
+  def bucketsSql(qvRel: String): String = {
+    val slots = (0 until PlanesPerTable)
+      .map(i => s"max(CASE WHEN p % $PlanesPerTable = $i THEN bit END)")
+      .mkString(" || ")
+    s"""SELECT vec_id, CAST(floor(p / $PlanesPerTable) AS BIGINT) AS tbl, $slots AS bucket FROM (
+       |SELECT vec_id, p, CASE WHEN sum(wt * q) >= 0 THEN '1' ELSE '0' END AS bit
+       |FROM $qvRel JOIN (${planesSql(NumPlanes)}) w USING (d)
+       |GROUP BY vec_id, p) GROUP BY vec_id, CAST(floor(p / $PlanesPerTable) AS BIGINT)""".stripMargin
+  }
+
+  /** Exact cosine top-k from quantized long form, for given candidate
+    * pairs `(i, j)`: integer dot + norms, ranked with deterministic
+    * tie-break. Returns `(i, j, rn, cos)`. */
+  def rankPairs(qv: DataFrame, pairs: DataFrame, k: Int): DataFrame = {
+    val norms = qv.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
+    val dots = pairs
+      .join(qv.select(col("vec_id").as("i"), col("d"), col("q").as("qa")), Seq("i"))
+      .join(qv.select(col("vec_id").as("j"), col("d"), col("q").as("qb")), Seq("j", "d"))
+      .groupBy("i", "j").agg(sum(col("qa") * col("qb")).as("dot"))
+    val sims = dots
+      .join(norms.select(col("vec_id").as("i"), col("n2").as("n2i")), Seq("i"))
+      .join(norms.select(col("vec_id").as("j"), col("n2").as("n2j")), Seq("j"))
+      .select(col("i"), col("j"), (col("dot").cast("double") /
+        (sqrt(col("n2i").cast("double")) * sqrt(col("n2j").cast("double")))).as("cos"))
+    val w = Window.partitionBy(col("i")).orderBy(desc("cos"), asc("j"))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("i"), col("j"), col("rn"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Oracle CTE tail shared by the ANN queries: `norms`, `dots` (from
+    * `cand(i, j)`), `sims`, ranked top-k select. */
+  def rankPairsSql(k: Int): String =
+    s"""norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qv GROUP BY vec_id),
+       |dots AS (
+       |SELECT i, j, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot FROM cand
+       |JOIN qv qa ON qa.vec_id = i JOIN qv qb ON qb.vec_id = j AND qb.d = qa.d
+       |GROUP BY i, j),
+       |sims AS (
+       |SELECT i, j, CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+       |FROM dots JOIN norms na ON na.vec_id = i JOIN norms nb ON nb.vec_id = j)
+       |SELECT i, j, rn, round(cos, 6) AS cos FROM (
+       |SELECT i, j, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn FROM sims)
+       |WHERE rn <= $k ORDER BY i, rn""".stripMargin
+}
