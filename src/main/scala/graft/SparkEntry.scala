@@ -15,7 +15,8 @@ object SparkEntry {
 
   private def registry: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      AnnQueries.all
+      AnnQueries.all ++ AnalysisQueries.all ++ EventQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
