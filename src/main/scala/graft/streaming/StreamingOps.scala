@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming forms of the engine's event operators
+  * (SURVEY.md §2.12): the same semantics as the batch EventQueries
+  * (q31-q33), expressed over `readStream` with event-time watermarks.
+  * The batch forms are the oracle-checkable twins; these are the
+  * production shape for unbounded input — state is bounded by the
+  * watermark, aggregation is incremental, and each operator scales
+  * with the shuffle partitioning like its batch twin.
+  */
+object StreamingOps {
+
+  /** Typed event row for the stateful operators and test sources. */
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Schema for file-based streaming reads of the events table
+    * (ts read as nanosecond longs — the streaming twin of
+    * EventQueries.events). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** `readStream` over a directory of events parquet files (the
+    * streaming source tails the directory for new files — the
+    * production ingestion shape). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** q31's streaming twin: tumbling 1-hour event-time window per
+    * event type, 1-hour watermark bounding state. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** q32's streaming twin: keep-first dedup per (user_id, event_type)
+    * with watermark-bounded dedup state. */
+  def dedupFirst(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** q33's streaming twin: native session windows (30-minute gap). */
+  def sessionized(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Custom streaming state via KeyValueGroupedDataset: running
+    * per-user event count (the minimal mapGroupsWithState shape a
+    * user extends for bespoke state machines). */
+  def runningUserCounts(events: Dataset[Event]): Dataset[(Long, Long)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val n = state.getOption.getOrElse(0L) + rows.size
+          state.update(n)
+          (uid, n)
+      }
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.ann.EmbeddingOps
+import graft.dedup.DedupOps
+import graft.engine.SimilarityOps
+import graft.multimodal.BinaryOps
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Operator-level specs on tiny crafted corpora (the oracle gate
+  * covers full-table exactness; these pin the semantics). */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark = TestSpark.session
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("shingles: word 3-grams, distinct, none for short docs") {
+    // NB tokens are 2+ chars (sklearn \w\w+ pattern) — 1-char words drop
+    val sh = DedupOps.shingles(docs(
+      1L -> "aa bb cc dd", 2L -> "xx yy", 3L -> "pp pp pp pp pp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((1L, "aa bb cc"), (1L, "bb cc dd"), (3L, "pp pp pp")))
+  }
+
+  test("identical docs share identical minhash signatures") {
+    val sh = DedupOps.shingles(docs(
+      1L -> "the quick brown fox jumps over", 2L -> "the quick brown fox jumps over"))
+    val sigs = DedupOps.minhashSignatures(sh).collect()
+      .groupBy(_.getLong(0)).view.mapValues(
+        _.map(r => (r.getLong(1), r.getString(2))).toSet).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).size == DedupOps.NumHashes)
+  }
+
+  test("jaccard is exact on crafted overlap") {
+    val sh = DedupOps.shingles(docs(
+      1L -> "aa bb cc dd ee", // shingles: aa-bb-cc bb-cc-dd cc-dd-ee
+      2L -> "bb cc dd ee ff")) // shingles: bb-cc-dd cc-dd-ee dd-ee-ff
+    import spark.implicits._
+    val pairs = Seq((1L, 2L)).toDF("i", "j")
+    val j = DedupOps.jaccard(pairs, sh).collect().head
+    assert(j.getLong(2) == 2L) // inter
+    assert(j.getDouble(5) == 2.0 / 4.0)
+  }
+
+  test("cosine: identical docs rank each other first with cos 1.0") {
+    val tf = SimilarityOps.termFreq(docs(
+      1L -> "alpha beta beta gamma", 2L -> "alpha beta beta gamma",
+      3L -> "delta epsilon zeta"), dropStopwords = false)
+    val top = SimilarityOps.cosineTopK(tf, col("doc_id") < 10, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(top.contains((1L, 2L, 1.0)))
+    assert(top.contains((2L, 1L, 1.0)))
+    // disjoint vocab -> no pair with doc 3
+    assert(!top.exists(t => t._1 == 3L || t._2 == 3L))
+  }
+
+  test("embedding quantization + rankPairs finds the planted neighbor") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)),
+      (1L, Array.tabulate(64)(i => (math.sin(i + 1) * 1.001f).toFloat)), // near-dup of 0
+      (2L, Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)))
+      .toDF("vec_id", "embedding")
+    val qv = EmbeddingOps.quantized(emb)
+    val cand = Seq((0L, 1L), (0L, 2L)).toDF("i", "j")
+    val ranked = EmbeddingOps.rankPairs(qv, cand, 2).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(ranked.head._1 == 1L && ranked.head._2 == 1L)
+    assert(ranked.find(_._1 == 1L).get._3 > 0.999)
+  }
+
+  test("planeWeight is deterministic and in [-8, 7]") {
+    val ws = for (p <- 0 until 16; d <- 0 until 64)
+      yield EmbeddingOps.planeWeight(p, d)
+    assert(ws.forall(w => w >= -8 && w <= 7))
+    assert(EmbeddingOps.planeWeight(3, 7) == EmbeddingOps.planeWeight(3, 7))
+  }
+
+  test("decodeStub is deterministic; decodeAll keeps every row") {
+    val media = docs(1L -> "hello", 2L -> "a longer payload here", 3L -> "")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    val out = BinaryOps.decodeAll(spark, media, partitions = 2)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(out.size == 3)
+    assert(out(1L).byte_len == 5L)
+    assert(out(3L).format == "empty")
+    assert(out(1L).checksum ==
+      BinaryOps.decodeStub(1L, "hello".getBytes("UTF-8")).checksum)
+  }
+}
