@@ -98,11 +98,14 @@ object DedupOps {
       .withColumn("slot", (col("h") % rowsPerBand).cast("long"))
     val slotCols = (0 until rowsPerBand).map(i =>
       min(when(col("slot") === i, col("minhash"))).as(s"m$i"))
+    // persisted: both sides of the self-join read this — without it the
+    // whole shingle+minhash pipeline executes twice
     val bandSigs = banded.groupBy("doc_id", "band")
       .agg(slotCols.head, slotCols.tail: _*)
       .select(col("doc_id"), col("band"),
         md5(concat((0 until rowsPerBand).map(i => col(s"m$i")): _*)
           .cast("binary")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bandSigs.select(col("doc_id").as("i"), col("band"), col("sig"))
     val b = bandSigs.select(col("doc_id").as("j"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).filter(col("i") < col("j"))
@@ -128,12 +131,17 @@ object DedupOps {
     * is bit-identical across engines. */
   def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = pairs
+    // candidate pairs are few (LSH-bounded) — broadcast them so the big
+    // shingle relation streams through hash joins without a shuffle
+    val inter = broadcast(pairs)
       .join(sh.select(col("doc_id").as("i"), col("shingle")), Seq("i"))
       .join(sh.select(col("doc_id").as("j"), col("shingle")), Seq("j", "shingle"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    inter
+    // inter is the small (candidate-bounded) side; per-doc counts scale
+    // with the corpus, so broadcast inter and stream counts past it
+    val withNa = broadcast(inter)
       .join(counts.select(col("doc_id").as("i"), col("n").as("na")), Seq("i"))
+    broadcast(withNa)
       .join(counts.select(col("doc_id").as("j"), col("n").as("nb")), Seq("j"))
       .select(col("i"), col("j"), col("inter"), col("na"), col("nb"),
         (col("inter").cast("double") /

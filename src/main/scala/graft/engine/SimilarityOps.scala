@@ -69,7 +69,12 @@ object SimilarityOps {
     val a = tfQueries
       .select(col("doc_id").as("i"), col("tok"), col("tf").as("tf_a"))
     val b = tf.select(col("doc_id").as("j"), col("tok"), col("tf").as("tf_b"))
-    val dots = a.join(b, Seq("tok"))
+    // broadcast the bounded query side: `tok` has few distinct values
+    // (vocab-capped), so a shuffled join on it is hopelessly skewed —
+    // a broadcast hash join streams the full corpus side in parallel
+    // with no shuffle, and the (i, j) partial aggregation combines
+    // map-side before the one real shuffle
+    val dots = broadcast(a).join(b, Seq("tok"))
       .filter(col("i") =!= col("j"))
       .groupBy("i", "j").agg(sum(col("tf_a") * col("tf_b")).as("dot"))
     val sims = dots

@@ -18,6 +18,7 @@ object AnnQueries {
       |(SELECT DISTINCT vec_id FROM qv) b WHERE b.vec_id <> a.vec_id),
       |${EmbeddingOps.rankPairsSql(10)}""".stripMargin) { (s, dir) =>
     val qv = EmbeddingOps.quantized(Tables(s, dir, "embeddings"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ids = qv.select("vec_id").distinct()
     val cand = ids.filter(col("vec_id") < 50).select(col("vec_id").as("i"))
       .crossJoin(ids.select(col("vec_id").as("j")))
@@ -39,6 +40,7 @@ object AnnQueries {
       |WHERE a.vec_id < 50),
       |${EmbeddingOps.rankPairsSql(5)}""".stripMargin) { (s, dir) =>
     val qv = EmbeddingOps.quantized(Tables(s, dir, "embeddings"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = EmbeddingOps.buckets(s, qv)
     val a = buckets.filter(col("vec_id") < 50)
       .select(col("vec_id").as("i"), col("tbl"), col("bucket"))

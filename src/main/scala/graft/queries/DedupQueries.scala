@@ -54,7 +54,10 @@ object DedupQueries {
       |FROM inter JOIN cnt na ON na.doc_id = i JOIN cnt nb ON nb.doc_id = j
       |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    // shingles feed minhash, the jaccard inter join (twice), and the
+    // counts — persist so the tokenize+window pipeline runs once
     val sh = DedupOps.shingles(DedupOps.augmented(Tables(s, dir, "documents")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = DedupOps.lshCandidates(DedupOps.minhashSignatures(sh))
     DedupOps.jaccard(cand, sh)
       .filter(col("jaccard") >= 0.5)
@@ -88,11 +91,22 @@ object DedupQueries {
       |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.2
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
     val sh = DedupOps.shingles(DedupOps.augmented(Tables(s, dir, "documents")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // intersection counted directly inside the inverted-index self-join
+    // (one shuffle on shingle, one on the pair key) — never re-join the
+    // full pair set against the shingle table, and never broadcast it:
+    // co-shingle pairs scale with sum(df^2), not with the candidates
     val a = sh.select(col("doc_id").as("i"), col("shingle"))
     val b = sh.select(col("doc_id").as("j"), col("shingle"))
-    val pairs = a.join(b, Seq("shingle")).filter(col("i") < col("j"))
-      .select("i", "j").distinct()
-    DedupOps.jaccard(pairs, sh)
+    val inter = a.join(b, Seq("shingle")).filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(counts.select(col("doc_id").as("i"), col("n").as("na")), Seq("i"))
+      .join(counts.select(col("doc_id").as("j"), col("n").as("nb")), Seq("j"))
+      .select(col("i"), col("j"), col("inter"), col("na"), col("nb"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
       .orderBy("i", "j")
   }

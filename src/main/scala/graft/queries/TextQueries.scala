@@ -65,7 +65,10 @@ object TextQueries {
       |SELECT i, j, rn, round(cos, 6) AS cos FROM (
       |SELECT i, j, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn FROM sims)
       |WHERE rn <= 10 ORDER BY i, rn""".stripMargin) { (s, dir) =>
+    // tf feeds the inverted-index join (both sides) and the norms —
+    // persist so tokenize+count runs once
     val tf = SimilarityOps.termFreq(Tables(s, dir, "documents"), dropStopwords = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     SimilarityOps.cosineTopK(tf, col("doc_id") < 100, 10)
       .orderBy("i", "rn")
   }
@@ -86,6 +89,7 @@ object TextQueries {
       val qid = docs.filter(instr(lower(col("text")), "spark") > 0)
         .agg(min(col("doc_id")).as("qid"))
       val tf = SimilarityOps.termFreq(docs, dropStopwords = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tfQ = tf.join(broadcast(qid), col("doc_id") === col("qid"), "left_semi")
       SimilarityOps.cosineTopKFrom(tfQ, tf, 5)
         .select(col("rn"), col("j").as("doc_id"), col("cos"))
