@@ -16,7 +16,7 @@ object SparkEntry {
   private def registry: Seq[Q] =
     RelationalQueries.all ++ TextQueries.all ++ DedupQueries.all ++
       AnnQueries.all ++ AnalysisQueries.all ++ EventQueries.all ++
-      MultimodalQueries.all
+      MultimodalQueries.all ++ CoverageQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
