@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import graft.engine.{CleanOps, SimilarityOps, Stemmer, TextOps}
+import graft.engine.{CleanOps, SimilarityOps, TextOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -75,9 +75,9 @@ object ProductPipeline {
     regexp_replace(c, "^https://www\\.amazon\\.in/", "")
 
   /** P5+P6 — `search_terms` (`amazon1.py:128-130`): normalize +
-    * Porter-stem. */
-  val stemUdf = udf(Stemmer.stemText _)
-  def searchTerms(c: Column): Column = stemUdf(TextOps.normalize(c))
+    * Porter-stem via the native codegen expression. */
+  def searchTerms(c: Column): Column =
+    graft.functions.StemText.graft_stem(TextOps.normalize(c))
 
   /** E2 — offline neighbor-index build (`amazon1.py:116-179`): dedup →
     * dropna(name) → search_terms → TF with vocab cap (M3) → all-pairs

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.engine.{Q, SimilarityOps, Stemmer, Tables, TextOps}
+import graft.engine.{Q, SimilarityOps, Tables, TextOps}
 import org.apache.spark.sql.functions._
 
 /** The reference's text pipeline (E2 offline index build + E3 online
@@ -19,14 +19,15 @@ object TextQueries {
   }
 
   /** P5+P6 — normalized + Porter-stemmed `search_terms`
-    * (`amazon1.py:128-130`). Stemming has no SQL equivalent → rows-only
-    * check (SparkEntry contract); exactness is covered by
-    * `StemmerSpec`. */
+    * (`amazon1.py:128-130`) via the native codegen expression
+    * (graft.functions.StemText). Stemming has no SQL equivalent →
+    * rows-only check (SparkEntry contract); exactness is covered by
+    * `StemmerSpec`/`StemTextSpec`. */
   val q16 = Q.noOracle("q16_search_terms") { (s, dir) =>
-    val stemUdf = udf(Stemmer.stemText _)
     Tables(s, dir, "documents")
       .select(col("doc_id"),
-        stemUdf(TextOps.normalize(col("text"))).as("search_terms"))
+        graft.functions.StemText.graft_stem(TextOps.normalize(col("text")))
+          .as("search_terms"))
       .orderBy("doc_id")
   }
 
