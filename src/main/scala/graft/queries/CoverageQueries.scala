@@ -87,5 +87,53 @@ object CoverageQueries {
   }
   }
 
-  def all: Seq[Q] = Seq(q36, q37, q38)
+  /** §2.7 set operations — none appear in the reference (stopword set
+    * union is driver-side constant there), but the generalized engine
+    * exposes them: high-balance vs automobile-segment customer keys
+    * via UNION / INTERSECT / EXCEPT, tagged and stacked. */
+  val q39 = Q("q39_set_ops",
+    """WITH rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0),
+      |auto AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+      |SELECT 'union' AS op, c_custkey FROM (SELECT c_custkey FROM rich UNION SELECT c_custkey FROM auto)
+      |UNION ALL
+      |SELECT 'intersect' AS op, c_custkey FROM (SELECT c_custkey FROM rich INTERSECT SELECT c_custkey FROM auto)
+      |UNION ALL
+      |SELECT 'except' AS op, c_custkey FROM (SELECT c_custkey FROM rich EXCEPT SELECT c_custkey FROM auto)
+      |ORDER BY op, c_custkey""".stripMargin) { (s, dir) =>
+    val c = Tables(s, dir, "customer")
+    val rich = c.filter(col("c_acctbal") > 5000.0).select("c_custkey")
+    val auto = c.filter(col("c_mktsegment") === "AUTOMOBILE").select("c_custkey")
+    rich.union(auto).distinct().select(lit("union").as("op"), col("c_custkey"))
+      .unionByName(rich.intersect(auto).select(lit("intersect").as("op"), col("c_custkey")))
+      .unionByName(rich.except(auto).select(lit("except").as("op"), col("c_custkey")))
+      .orderBy("op", "c_custkey")
+  }
+
+  /** §2.11 UDAF — q11's per-customer top-3 recomputed through the
+    * one-pass bounded-buffer [[graft.functions.TopKByScore]] aggregator
+    * instead of a ranking window; the oracle is the window form, so
+    * the hash-match proves the fused aggregate is semantics-identical. */
+  val q40 = Q("q40_topk_aggregate",
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+      |SELECT o_custkey, o_orderkey, o_totalprice,
+      |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) {
+    (s, dir) =>
+      import s.implicits._
+      val topk = new graft.functions.TopKByScore(3).toColumn
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .agg(topk.name("top"))
+        .flatMap { case (cust, top) =>
+          top.zipWithIndex.map { case ((price, orderKey), idx) =>
+            (cust, (idx + 1).toLong, orderKey, price)
+          }
+        }
+        .toDF("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+  }
+
+  def all: Seq[Q] = Seq(q36, q37, q38, q39, q40)
 }
