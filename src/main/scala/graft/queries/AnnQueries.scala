@@ -50,5 +50,55 @@ object AnnQueries {
     EmbeddingOps.rankPairs(qv, cand, 5).orderBy("i", "rn")
   }
 
-  def all: Seq[Q] = Seq(q25, q26)
+  /** Embedding-cosine near-dup pairs (the fifth dedup method): the
+    * corpus is augmented with near-identical copies (every 20th vector
+    * re-appears under vec_id+100000 with its first quantized dim
+    * nudged), candidates come from sign-LSH bucket collisions, and
+    * only candidates get the exact cosine ≥ 0.99 check — never
+    * all-pairs. */
+  val q41 = Q("q41_embed_neardup",
+    s"""WITH qv0 AS (${EmbeddingOps.quantizedSql}),
+      |qv AS (SELECT vec_id, d, q FROM qv0
+      |UNION ALL SELECT vec_id + 100000, d, q + CASE WHEN d = 0 THEN 10000 ELSE 0 END
+      |FROM qv0 WHERE vec_id % 20 = 0),
+      |buckets AS (${EmbeddingOps.bucketsSql("qv")}),
+      |cand AS (
+      |SELECT DISTINCT a.vec_id AS i, b.vec_id AS j FROM buckets a
+      |JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qv GROUP BY vec_id),
+      |dots AS (
+      |SELECT i, j, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot FROM cand
+      |JOIN qv qa ON qa.vec_id = i JOIN qv qb ON qb.vec_id = j AND qb.d = qa.d
+      |GROUP BY i, j)
+      |SELECT i, j, round(cos, 6) AS cos FROM (
+      |SELECT i, j, CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
+      |FROM dots JOIN norms na ON na.vec_id = i JOIN norms nb ON nb.vec_id = j)
+      |WHERE cos >= 0.99 ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val qv0 = EmbeddingOps.quantized(Tables(s, dir, "embeddings"))
+    val qv = qv0.unionByName(
+      qv0.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("d"),
+          (col("q") + when(col("d") === 0, 10000L).otherwise(0L)).as("q")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = EmbeddingOps.buckets(s, qv)
+    val a = buckets.select(col("vec_id").as("i"), col("tbl"), col("bucket"))
+    val b = buckets.select(col("vec_id").as("j"), col("tbl"), col("bucket"))
+    val cand = a.join(b, Seq("tbl", "bucket")).filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val norms = qv.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
+    val dots = broadcast(cand)
+      .join(qv.select(col("vec_id").as("i"), col("d"), col("q").as("qa")), Seq("i"))
+      .join(qv.select(col("vec_id").as("j"), col("d"), col("q").as("qb")), Seq("j", "d"))
+      .groupBy("i", "j").agg(sum(col("qa") * col("qb")).as("dot"))
+    broadcast(dots)
+      .join(norms.select(col("vec_id").as("i"), col("n2").as("n2i")), Seq("i"))
+      .join(norms.select(col("vec_id").as("j"), col("n2").as("n2j")), Seq("j"))
+      .select(col("i"), col("j"), (col("dot").cast("double") /
+        (sqrt(col("n2i").cast("double")) * sqrt(col("n2j").cast("double")))).as("cos"))
+      .filter(col("cos") >= 0.99)
+      .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
+      .orderBy("i", "j")
+  }
+
+  def all: Seq[Q] = Seq(q25, q26, q41)
 }
