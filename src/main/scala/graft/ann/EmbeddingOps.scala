@@ -77,31 +77,41 @@ object EmbeddingOps {
 
   /** Sign-LSH bucket keys per vector, one row per hash table:
     * `(vec_id, tbl, bucket)` where the bucket is one char per plane in
-    * the table ('1' iff the integer projection is non-negative). */
-  def buckets(spark: SparkSession, qv: DataFrame): DataFrame = {
-    val proj = qv.join(broadcast(planes(spark, NumPlanes)), Seq("d"))
+    * the table ('1' iff the integer projection is non-negative).
+    *
+    * `planesPerTable` tunes precision vs recall: ANN search over
+    * moderate-cosine neighbors wants short buckets (default 4);
+    * near-dup detection (cos ≈ 1) wants long buckets — near-identical
+    * vectors still collide while random candidate pairs vanish
+    * exponentially. */
+  def buckets(spark: SparkSession, qv: DataFrame,
+      planesPerTable: Int = PlanesPerTable): DataFrame = {
+    val nPlanes = 4 * planesPerTable
+    val proj = qv.join(broadcast(planes(spark, nPlanes)), Seq("d"))
       .groupBy("vec_id", "p")
       .agg(sum(col("wt") * col("q")).as("proj"))
       .select(col("vec_id"),
-        floor(col("p") / PlanesPerTable).cast("long").as("tbl"),
-        (col("p") % PlanesPerTable).as("slot"),
+        floor(col("p") / planesPerTable).cast("long").as("tbl"),
+        (col("p") % planesPerTable).as("slot"),
         when(col("proj") >= 0, lit("1")).otherwise(lit("0")).as("bit"))
-    val slotCols = (0 until PlanesPerTable).map(i =>
+    val slotCols = (0 until planesPerTable).map(i =>
       max(when(col("slot") === i, col("bit"))).as(s"b$i"))
     proj.groupBy("vec_id", "tbl")
       .agg(slotCols.head, slotCols.tail: _*)
       .select(col("vec_id"), col("tbl"),
-        concat((0 until PlanesPerTable).map(i => col(s"b$i")): _*).as("bucket"))
+        concat((0 until planesPerTable).map(i => col(s"b$i")): _*).as("bucket"))
   }
 
-  def bucketsSql(qvRel: String): String = {
-    val slots = (0 until PlanesPerTable)
-      .map(i => s"max(CASE WHEN p % $PlanesPerTable = $i THEN bit END)")
+  def bucketsSql(qvRel: String,
+      planesPerTable: Int = PlanesPerTable): String = {
+    val nPlanes = 4 * planesPerTable
+    val slots = (0 until planesPerTable)
+      .map(i => s"max(CASE WHEN p % $planesPerTable = $i THEN bit END)")
       .mkString(" || ")
-    s"""SELECT vec_id, CAST(floor(p / $PlanesPerTable) AS BIGINT) AS tbl, $slots AS bucket FROM (
+    s"""SELECT vec_id, CAST(floor(p / $planesPerTable) AS BIGINT) AS tbl, $slots AS bucket FROM (
        |SELECT vec_id, p, CASE WHEN sum(wt * q) >= 0 THEN '1' ELSE '0' END AS bit
-       |FROM $qvRel JOIN (${planesSql(NumPlanes)}) w USING (d)
-       |GROUP BY vec_id, p) GROUP BY vec_id, CAST(floor(p / $PlanesPerTable) AS BIGINT)""".stripMargin
+       |FROM $qvRel JOIN (${planesSql(nPlanes)}) w USING (d)
+       |GROUP BY vec_id, p) GROUP BY vec_id, CAST(floor(p / $planesPerTable) AS BIGINT)""".stripMargin
   }
 
   /** Exact cosine top-k from quantized long form, for given candidate

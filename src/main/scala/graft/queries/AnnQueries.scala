@@ -61,7 +61,7 @@ object AnnQueries {
       |qv AS (SELECT vec_id, d, q FROM qv0
       |UNION ALL SELECT vec_id + 100000, d, q + CASE WHEN d = 0 THEN 10000 ELSE 0 END
       |FROM qv0 WHERE vec_id % 20 = 0),
-      |buckets AS (${EmbeddingOps.bucketsSql("qv")}),
+      |buckets AS (${EmbeddingOps.bucketsSql("qv", planesPerTable = 8)}),
       |cand AS (
       |SELECT DISTINCT a.vec_id AS i, b.vec_id AS j FROM buckets a
       |JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
@@ -80,7 +80,9 @@ object AnnQueries {
         .select((col("vec_id") + 100000L).as("vec_id"), col("d"),
           (col("q") + when(col("d") === 0, 10000L).otherwise(0L)).as("q")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = EmbeddingOps.buckets(s, qv)
+    // 8 planes per table (vs 4 for ANN search): near-identical pairs
+    // survive the longer bucket, random collisions drop ~16x
+    val buckets = EmbeddingOps.buckets(s, qv, planesPerTable = 8)
     val a = buckets.select(col("vec_id").as("i"), col("tbl"), col("bucket"))
     val b = buckets.select(col("vec_id").as("j"), col("tbl"), col("bucket"))
     val cand = a.join(b, Seq("tbl", "bucket")).filter(col("i") < col("j"))

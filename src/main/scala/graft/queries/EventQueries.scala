@@ -90,5 +90,20 @@ object EventQueries {
       .orderBy("user_id", "session_id")
   }
 
-  def all: Seq[Q] = Seq(q31, q32, q33)
+  /** JSON column extraction — `events.props` carries a JSON payload;
+    * typed extraction + aggregation over it (the semi-structured
+    * source surface; Spark `get_json_object` ↔ DuckDB `json_extract`). */
+  val q42 = Q("q42_json_extract",
+    """SELECT k_bucket, count(*) AS n, min(event_id) AS first_event
+      |FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket FROM events)
+      |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .select(col("event_id"),
+        (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("first_event"))
+      .orderBy("k_bucket")
+  }
+
+  def all: Seq[Q] = Seq(q31, q32, q33, q42)
 }

@@ -62,6 +62,15 @@ object StreamingOps {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
 
+  /** Stream-static join (SURVEY.md §2.12: "the neighbor index as a
+    * batch-built, stream-joined static side"): enrich a live event
+    * stream with a batch-built per-key dimension. The static side is
+    * broadcast when small; Spark re-plans it per micro-batch so a
+    * refreshed static table is picked up. */
+  def enrichWithStatic(events: DataFrame, static: DataFrame,
+      key: String): DataFrame =
+    events.join(org.apache.spark.sql.functions.broadcast(static), Seq(key), "left")
+
   /** Custom streaming state via KeyValueGroupedDataset: running
     * per-user event count (the minimal mapGroupsWithState shape a
     * user extends for bespoke state machines). */
