@@ -25,4 +25,15 @@ object Sinks {
   /** CSV sink with header (round-trips `ProductPipeline.loadCsv`). */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Bucketed managed table: rows are hash-bucketed by `key` at write
+    * time, so joins/aggregations between tables sharing (key, buckets)
+    * read co-located data and plan with NO shuffle exchange — the
+    * pre-partitioning that amortizes one shuffle across every later
+    * join at 100 TB. */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
 }
