@@ -102,6 +102,15 @@ object ProductPipeline {
     (base, SimilarityOps.cosineTopKFrom(tf, tf, k))
   }
 
+  /** Persist / reload the neighbor index (`amazon1.py:155`: build
+    * once, amortize across queries — SURVEY.md §4 "materialized
+    * neighbor table"). Parquet keeps it queryable by any session. */
+  def saveIndex(neighbors: DataFrame, path: String): Unit =
+    neighbors.write.mode("overwrite").parquet(path)
+
+  def loadIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** E3 — `get_similar_products` (`amazon1.py:181-202`): exact-name
     * lookup first (F4; keep-first by row_id — documented deterministic
     * choice where Py keeps last and R keeps first, SURVEY.md §2.3),

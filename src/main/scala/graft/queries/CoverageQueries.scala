@@ -135,5 +135,47 @@ object CoverageQueries {
         .orderBy("o_custkey", "rn")
   }
 
-  def all: Seq[Q] = Seq(q36, q37, q38, q39, q40)
+  private val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+    "4-NOT SPECIFIED", "5-LOW")
+
+  /** Pivot — wide-form counts per (status × priority); the pivot value
+    * list is fixed so the output schema is deterministic, and absent
+    * combinations are zero-filled to match the CASE-sum oracle. */
+  val q43 = {
+    val cases = priorities.map(p =>
+      s"""CAST(sum(CASE WHEN o_orderpriority = '$p' THEN 1 ELSE 0 END) AS BIGINT) AS "$p"""")
+      .mkString(",\n|")
+    Q("q43_pivot",
+      s"""SELECT o_orderstatus,
+        |$cases
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+        Tables(s, dir, "orders")
+          .groupBy("o_orderstatus")
+          .pivot("o_orderpriority", priorities)
+          .agg(count(lit(1)))
+          .na.fill(0L, priorities)
+          .orderBy("o_orderstatus")
+    }
+  }
+
+  /** Rollup — hierarchical subtotals over (returnflag, linestatus)
+    * with exact integer revenue; null ordering made explicit so the
+    * subtotal rows land identically in both engines. */
+  val q44 = Q("q44_rollup",
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |round(CAST(sum(${CleanOps.centsSql("(l_extendedprice * (1.0 - l_discount))")}) AS DOUBLE) / 100.0, 2) AS revenue
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          CleanOps.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("rev_c").cast("decimal(38,0)")).cast("double") / 100.0, 2).as("revenue"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  def all: Seq[Q] = Seq(q36, q37, q38, q39, q40, q43, q44)
 }

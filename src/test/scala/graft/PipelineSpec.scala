@@ -98,6 +98,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(report.startsWith("<!DOCTYPE html>") && report.contains("<h1>"))
   }
 
+  test("E2: persisted index round-trips and serves recommendations") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx").toString
+    P.saveIndex(neighbors, dir)
+    val loaded = P.loadIndex(spark, dir)
+    val direct = P.recommend(base, neighbors, "Dell Wireless Mouse WM126")
+      .collect().map(_.toSeq).toSeq
+    val viaDisk = P.recommend(base, loaded, "Dell Wireless Mouse WM126")
+      .collect().map(_.toSeq).toSeq
+    assert(direct == viaDisk)
+  }
+
   test("E1: top-10 sorts by count desc with nulls last") {
     val counts = P.top10(base).select("no_of_ratings_cleaned")
       .collect().map(r => if (r.isNullAt(0)) -1.0 else r.getDouble(0))
