@@ -138,7 +138,13 @@ object EmbeddingOps {
     * `cand(i, j)`), `sims`, ranked top-k select. */
   def rankPairsSql(k: Int): String =
     s"""norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qv GROUP BY vec_id),
-       |dots AS (
+       |${rankTailSql(k)}""".stripMargin
+
+  /** As [[rankPairsSql]] but assumes `norms` is already defined by the
+    * caller's CTE chain (e.g. the IVF query defines it early for
+    * centroid assignment). */
+  def rankTailSql(k: Int): String =
+    s"""dots AS (
        |SELECT i, j, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot FROM cand
        |JOIN qv qa ON qa.vec_id = i JOIN qv qb ON qb.vec_id = j AND qb.d = qa.d
        |GROUP BY i, j),

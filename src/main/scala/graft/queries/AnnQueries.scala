@@ -102,5 +102,52 @@ object AnnQueries {
       .orderBy("i", "j")
   }
 
-  def all: Seq[Q] = Seq(q25, q26, q41)
+  /** IVF-flat ANN (the other scale path beside sign-LSH): a coarse
+    * quantizer of deterministic sampled centroids (every 50th vector),
+    * each vector assigned to its nearest centroid's inverted list
+    * (exact integer cosine, tie by centroid id); queries probe their
+    * nprobe=4 nearest lists and exact-rerank only those lists'
+    * members. At 100 TB the assignment is one bounded pass and query
+    * cost is (nprobe/centroids) of the corpus. */
+  val q46 = Q("q46_ann_ivf",
+    s"""WITH qv AS (${EmbeddingOps.quantizedSql}),
+      |norms AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS n2 FROM qv GROUP BY vec_id),
+      |centv AS (SELECT vec_id AS cid, d, q AS qc FROM qv WHERE vec_id % 50 = 0),
+      |adots AS (
+      |SELECT v.vec_id, c.cid, CAST(sum(v.q * c.qc) AS BIGINT) AS dot
+      |FROM qv v JOIN centv c ON c.d = v.d GROUP BY v.vec_id, c.cid),
+      |asims AS (
+      |SELECT a.vec_id, a.cid, CAST(a.dot AS DOUBLE) / (sqrt(CAST(nv.n2 AS DOUBLE)) * sqrt(CAST(nc.n2 AS DOUBLE))) AS acos
+      |FROM adots a JOIN norms nv ON nv.vec_id = a.vec_id JOIN norms nc ON nc.vec_id = a.cid),
+      |ranked AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY acos DESC, cid) AS rk FROM asims),
+      |assign AS (SELECT vec_id AS j, cid FROM ranked WHERE rk = 1),
+      |probes AS (SELECT vec_id AS i, cid FROM ranked WHERE rk <= 4 AND vec_id < 50),
+      |cand AS (SELECT DISTINCT i, j FROM probes JOIN assign USING (cid) WHERE j <> i),
+      |${EmbeddingOps.rankTailSql(5)}""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val qv = EmbeddingOps.quantized(Tables(s, dir, "embeddings"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = qv.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
+    val centv = qv.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("d"), col("q").as("qc"))
+    val adots = qv.join(broadcast(centv), Seq("d"))
+      .groupBy("vec_id", "cid").agg(sum(col("q") * col("qc")).as("dot"))
+    val asims = adots
+      .join(norms.select(col("vec_id"), col("n2").as("nv")), Seq("vec_id"))
+      .join(broadcast(norms.select(col("vec_id").as("cid"), col("n2").as("nc"))), Seq("cid"))
+      .select(col("vec_id"), col("cid"), (col("dot").cast("double") /
+        (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double")))).as("acos"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(desc("acos"), asc("cid"))
+    val ranked = asims.withColumn("rk", row_number().over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assign = ranked.filter(col("rk") === 1)
+      .select(col("vec_id").as("j"), col("cid"))
+    val probes = ranked.filter(col("rk") <= 4 && col("vec_id") < 50)
+      .select(col("vec_id").as("i"), col("cid"))
+    val cand = broadcast(probes).join(assign, Seq("cid"))
+      .filter(col("j") =!= col("i")).select("i", "j").distinct()
+    EmbeddingOps.rankPairs(qv, cand, 5).orderBy("i", "rn")
+  }
+
+  def all: Seq[Q] = Seq(q25, q26, q41, q46)
 }
