@@ -64,8 +64,16 @@ object SimilarityOps {
   /** As [[cosineTopK]] but with an explicit query-side TF relation
     * (e.g. a semi-joined single document for the online recommend
     * path, where the tiny query side broadcasts). */
-  def cosineTopKFrom(tfQueries: DataFrame, tf: DataFrame, k: Int): DataFrame = {
-    val norms = docNorms(tf)
+  def cosineTopKFrom(tfQueries: DataFrame, tf: DataFrame, k: Int): DataFrame =
+    rankTopK(cosinePairs(tfQueries, tf), k)
+      .select(col("i"), col("j"), col("rn"), round(col("cos"), 6).as("cos"))
+
+  /** Exact cosine for every (query, corpus) doc pair sharing a term:
+    * unrounded `(i, j, cos)`. Norms are per-doc self-norms, so the
+    * i-side norms come from the query relation and the j-side from
+    * the corpus relation — the two need not overlap (incremental
+    * merge joins old docs against a new-docs corpus side). */
+  def cosinePairs(tfQueries: DataFrame, tf: DataFrame): DataFrame = {
     val a = tfQueries
       .select(col("doc_id").as("i"), col("tok"), col("tf").as("tf_a"))
     val b = tf.select(col("doc_id").as("j"), col("tok"), col("tf").as("tf_b"))
@@ -77,15 +85,40 @@ object SimilarityOps {
     val dots = broadcast(a).join(b, Seq("tok"))
       .filter(col("i") =!= col("j"))
       .groupBy("i", "j").agg(sum(col("tf_a") * col("tf_b")).as("dot"))
-    val sims = dots
-      .join(norms.select(col("doc_id").as("i"), col("n2").as("n2i")), Seq("i"))
-      .join(norms.select(col("doc_id").as("j"), col("n2").as("n2j")), Seq("j"))
+    dots
+      .join(docNorms(tfQueries).select(col("doc_id").as("i"), col("n2").as("n2i")), Seq("i"))
+      .join(docNorms(tf).select(col("doc_id").as("j"), col("n2").as("n2j")), Seq("j"))
       .select(col("i"), col("j"), (col("dot").cast("double") /
         (sqrt(col("n2i").cast("double")) * sqrt(col("n2j").cast("double")))).as("cos"))
+  }
+
+  /** Rank `(i, j, cos)` pairs per i: (cos desc, j asc), keep k.
+    * Returns unrounded `(i, j, rn, cos)`. */
+  def rankTopK(sims: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("i")).orderBy(desc("cos"), asc("j"))
     sims.withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
-      .select(col("i"), col("j"), col("rn"), round(col("cos"), 6).as("cos"))
+      .select("i", "j", "rn", "cos")
+  }
+
+  /** Incremental index maintenance: fold a batch of new documents into
+    * an existing top-k neighbor table without a full rebuild. Sound
+    * because merging only ADDS candidates: an old pair absent from the
+    * old top-k is dominated by k still-present better pairs and can
+    * never enter the new top-k. Cost is |new docs| × inverted-index
+    * postings — at 100 TB this is the difference between an ingest
+    * batch and recomputing the corpus.
+    *
+    * `existing` must be the UNROUNDED table from [[rankTopK]] (ranking
+    * merged rounded and unrounded scores would be order-unstable).
+    * Returns the same shape, re-ranked. */
+  def mergeTopK(existing: DataFrame, tfOld: DataFrame, tfNew: DataFrame,
+      k: Int): DataFrame = {
+    val tfAll = tfOld.unionByName(tfNew)
+    val newLists = cosinePairs(tfNew, tfAll) // new docs get full lists
+    val updates = cosinePairs(tfOld, tfNew) // new docs enter old lists
+    rankTopK(existing.select("i", "j", "cos")
+      .unionByName(newLists).unionByName(updates), k)
   }
 
   /** Oracle CTE block shared by the cosine queries: `tf`, `norms`,
