@@ -26,12 +26,24 @@ object DedupQueries {
       .orderBy("fp")
   }
 
-  /** MinHash signatures (16 seeds) over word-3-gram shingles. */
+  /** MinHash signatures (16 seeds) over word-3-gram shingles. The
+    * Spark side signs row-locally via the native MinHashSigs
+    * expression (zero shuffles before the ORDER BY); the oracle keeps
+    * the relational CTE form — identical md5 scheme, identical
+    * output. */
   val q21 = Q("q21_minhash",
     s"""WITH sh AS (${DedupOps.shinglesSql("documents")})
       |${DedupOps.minhashSignaturesSql("sh")}
       |ORDER BY doc_id, h""".stripMargin) { (s, dir) =>
-    DedupOps.minhashSignatures(DedupOps.shingles(Tables(s, dir, "documents")))
+    // repartition first: the corpus is one small parquet file (one
+    // input split), and signing is the CPU cost — spread it across
+    // cores before the map-side expression
+    Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashExprs.minhash_sigs(col("text")))
+          .as(Seq("h", "minhash")))
+      .select(col("doc_id"), col("h").cast("long").as("h"), col("minhash"))
       .orderBy("doc_id", "h")
   }
 
@@ -54,11 +66,26 @@ object DedupQueries {
       |FROM inter JOIN cnt na ON na.doc_id = i JOIN cnt nb ON nb.doc_id = j
       |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.5
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
-    // shingles feed minhash, the jaccard inter join (twice), and the
-    // counts — persist so the tokenize+window pipeline runs once
-    val sh = DedupOps.shingles(DedupOps.augmented(Tables(s, dir, "documents")))
+    // sign row-locally (native BandSigs expression — no shuffle),
+    // bucket-join for candidates, then build shingle sets ONLY for
+    // candidate docs: the full corpus never pays the explode+window
+    // shingle pipeline, just one map-side signing pass
+    val docs = DedupOps.augmented(Tables(s, dir, "documents"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val bandSigs = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHashExprs.band_sigs(col("text")))
+          .as(Seq("band", "sig")))
+      .select(col("doc_id"), col("band").cast("long").as("band"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = DedupOps.lshCandidates(DedupOps.minhashSignatures(sh))
+    val a = bandSigs.select(col("doc_id").as("i"), col("band"), col("sig"))
+    val b = bandSigs.select(col("doc_id").as("j"), col("band"), col("sig"))
+    val cand = a.join(b, Seq("band", "sig")).filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val candIds = cand.select(col("i").as("doc_id"))
+      .unionByName(cand.select(col("j").as("doc_id"))).distinct()
+    val sh = DedupOps.shingles(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DedupOps.jaccard(cand, sh)
       .filter(col("jaccard") >= 0.5)
       .orderBy("i", "j")

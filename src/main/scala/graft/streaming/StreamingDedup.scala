@@ -1,10 +1,5 @@
 package graft.streaming
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
-import graft.dedup.DedupOps
-import graft.engine.TextOps
 import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -31,29 +26,13 @@ object StreamingDedup {
     * consumers dedupe on (i, j). */
   case class CandidatePair(i: Long, j: Long, band: Long)
 
-  private val tokenRe = TextOps.TokenPattern.r
-
-  private def md5hex(s: String): String = {
-    val md = MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
-  }
-
-  /** Row-local band signatures — same scheme as the batch DataFrame
-    * pipeline (word 3-gram shingles, min of md5("h|shingle") per seed,
-    * md5 of the concatenated band minhashes). Returns (band, sig);
-    * empty for docs with fewer than 3 tokens. */
-  def bandSignatures(text: String): Seq[(Long, String)] = {
-    val toks = tokenRe.findAllIn(text.toLowerCase).toArray
-    if (toks.length < 3) return Seq.empty
-    val shingles = toks.sliding(3).map(_.mkString(" ")).toSet
-    val minhashes = (0 until DedupOps.NumHashes).map { h =>
-      shingles.iterator.map(s => md5hex(s"$h|$s")).min
-    }
-    val rowsPerBand = DedupOps.NumHashes / DedupOps.Bands
-    (0 until DedupOps.Bands).map { b =>
-      (b.toLong, md5hex(minhashes.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString))
-    }
-  }
+  /** Row-local band signatures — delegates to the shared
+    * [[graft.dedup.MinHashLocal]] scheme (same code path the native
+    * batch expressions use). Returns (band, sig); empty for docs with
+    * fewer than 3 tokens. */
+  def bandSignatures(text: String): Seq[(Long, String)] =
+    graft.dedup.MinHashLocal.bandSigs(text).zipWithIndex
+      .map { case (sig, b) => (b.toLong, sig) }.toSeq
 
   /** The stateful bucket operator: per (band, sig) bucket, remember
     * seen doc ids; each new arrival emits one candidate pair per
