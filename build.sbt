@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // dozens of whole-stage-codegen'd queries in one JVM overflow the
+  // default 240m JIT code cache; once full the compiler disables and
+  // CPU-bound queries late in a run degrade 3-6x
+  "-XX:ReservedCodeCacheSize=512m",
 )
