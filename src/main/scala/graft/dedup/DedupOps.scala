@@ -106,6 +106,13 @@ object DedupOps {
         md5(concat((0 until rowsPerBand).map(i => col(s"m$i")): _*)
           .cast("binary")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidatesFromBandSigs(bandSigs)
+  }
+
+  /** Candidate pairs from a `(doc_id, band, sig)` relation — shared by
+    * the relational path above and the native-expression path (q22),
+    * so the collision rule lives in one place. */
+  def candidatesFromBandSigs(bandSigs: DataFrame): DataFrame = {
     val a = bandSigs.select(col("doc_id").as("i"), col("band"), col("sig"))
     val b = bandSigs.select(col("doc_id").as("j"), col("band"), col("sig"))
     a.join(b, Seq("band", "sig")).filter(col("i") < col("j"))

@@ -23,8 +23,12 @@ object MinHashLocal {
     md.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
   }
 
-  /** Distinct word 3-gram shingles; empty for docs under 3 tokens. */
+  /** Distinct word 3-gram shingles; empty for null docs or docs under
+    * 3 tokens (null tolerance matches the DataFrame pipeline and the
+    * null-safe native expressions — a null text must not kill a
+    * streaming query). */
   def shingles(text: String): Set[String] = {
+    if (text == null) return Set.empty
     val toks = tokenRe.findAllIn(text.toLowerCase).toArray
     if (toks.length < 3) Set.empty
     else toks.sliding(3).map(_.mkString(" ")).toSet

@@ -13,6 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scalar IEEE ops over identical inputs, or (c) derived from
   * exact-integer aggregates (quantized cents / 1e6 units) so Spark and
   * DuckDB produce bit-identical doubles regardless of aggregation order.
+  *
+  * Caching contract: query bodies persist branched pipelines
+  * (MEMORY_AND_DISK) and do NOT unpersist — the driver mains clear the
+  * cache between queries (`spark.catalog.clearCache()`). A long-lived
+  * session composing these queries directly should do the same, or
+  * cached blocks accumulate.
   */
 final case class Q(
     name: String,

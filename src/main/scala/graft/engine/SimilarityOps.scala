@@ -116,7 +116,11 @@ object SimilarityOps {
       k: Int): DataFrame = {
     val tfAll = tfOld.unionByName(tfNew)
     val newLists = cosinePairs(tfNew, tfAll) // new docs get full lists
-    val updates = cosinePairs(tfOld, tfNew) // new docs enter old lists
+    // new docs entering old lists: cosine is symmetric, so compute with
+    // the BOUNDED batch as the broadcast query side and swap the pair —
+    // never broadcast the old corpus
+    val updates = cosinePairs(tfNew, tfOld)
+      .select(col("j").as("i"), col("i").as("j"), col("cos"))
     rankTopK(existing.select("i", "j", "cos")
       .unionByName(newLists).unionByName(updates), k)
   }

@@ -25,12 +25,15 @@ object TextOps {
     s"regexp_extract_all(lower($e), '$TokenPattern')"
 
   /** P5 — lowercase + punctuation→space normalization
-    * (`amazon1.py:128`): the `search_terms` derivation. */
+    * (`amazon1.py:128`): the `search_terms` derivation. Whitespace is
+    * spelled out explicitly — Java's `\s` includes vertical tab, RE2's
+    * does not, so a `\s` here would silently diverge from the oracle
+    * on exotic whitespace. */
   def normalize(c: Column): Column =
-    trim(regexp_replace(lower(c), "[^a-z0-9_\\s]+", " "))
+    trim(regexp_replace(lower(c), "[^a-z0-9_ \\t\\n\\f\\r]+", " "))
 
   def normalizeSql(e: String): String =
-    s"trim(regexp_replace(lower($e), '[^a-z0-9_\\s]+', ' ', 'g'))"
+    s"trim(regexp_replace(lower($e), '[^a-z0-9_ \\t\\n\\f\\r]+', ' ', 'g'))"
 
   /** M2 — compact English stopword list (engine constant; the reference
     * uses nltk/sklearn lists, `amazon1.py:105,133` — shipping a fixed

@@ -135,16 +135,15 @@ object ProductPipeline {
         .select(min(col("row_id")).as("qid")).collect().headOption
         .flatMap(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
     }
-    qid match {
-      case None => // no match — empty result, reference prints a message
-        base.sparkSession.emptyDataFrame
-      case Some(id) =>
-        neighbors.filter(col("i") === id && col("rn") <= k)
-          .join(base, col("j") === base("row_id"))
-          .orderBy("rn")
-          .select(col("rn"), col("name"), col("ratings_cleaned"),
-            col("no_of_ratings_cleaned"), col("discount_price_cleaned"),
-            col("actual_price_cleaned"), col("image_id"), col("link_id"))
-    }
+    // no match: run the same plan with an impossible id so the empty
+    // result keeps the full 8-column schema (callers can still select
+    // or union it; the reference just prints a message)
+    val id = qid.getOrElse(-1L)
+    neighbors.filter(col("i") === id && col("rn") <= k)
+      .join(base, col("j") === base("row_id"))
+      .orderBy("rn")
+      .select(col("rn"), col("name"), col("ratings_cleaned"),
+        col("no_of_ratings_cleaned"), col("discount_price_cleaned"),
+        col("actual_price_cleaned"), col("image_id"), col("link_id"))
   }
 }

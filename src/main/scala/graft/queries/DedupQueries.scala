@@ -78,12 +78,9 @@ object DedupQueries {
           .as(Seq("band", "sig")))
       .select(col("doc_id"), col("band").cast("long").as("band"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bandSigs.select(col("doc_id").as("i"), col("band"), col("sig"))
-    val b = bandSigs.select(col("doc_id").as("j"), col("band"), col("sig"))
     // cand feeds the id-set, the jaccard inter join, and the result —
     // persist or the band-sig self-join re-executes per branch
-    val cand = a.join(b, Seq("band", "sig")).filter(col("i") < col("j"))
-      .select("i", "j").distinct()
+    val cand = DedupOps.candidatesFromBandSigs(bandSigs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("i").as("doc_id"))
       .unionByName(cand.select(col("j").as("doc_id"))).distinct()

@@ -97,7 +97,9 @@ object EventQueries {
     """SELECT k_bucket, count(*) AS n, min(event_id) AS first_event
       |FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket FROM events)
       |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin) { (s, dir) =>
-    Tables(s, dir, "events")
+    // events() (not Tables): the raw table is nanosecond parquet and
+    // needs the nanosAsLong conf even though this query ignores ts
+    events(s, dir)
       .select(col("event_id"),
         (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
       .groupBy("k_bucket")

@@ -40,11 +40,15 @@ object StreamingOps {
   }
 
   /** q31's streaming twin: tumbling 1-hour event-time window per
-    * event type, 1-hour watermark bounding state. */
+    * event type, 1-hour watermark bounding state. Values quantized to
+    * exact integer cents like the batch form, so incremental
+    * aggregation order cannot perturb the sum. */
   def hourlyCounts(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100.0).cast("long")).cast("double") / 100.0)
+          .as("total_value"))
       .select(col("w.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
