@@ -18,9 +18,24 @@ object MinHashLocal {
 
   private val tokenRe = TextOps.TokenPattern.r
 
+  // one digest per task thread: getInstance does a provider lookup and
+  // allocation, and signing calls this millions of times per partition
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  private val HexChars = "0123456789abcdef".toCharArray
+
   def md5hex(s: String): String = {
-    val md = MessageDigest.getInstance("MD5")
-    md.digest(s.getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+    val md = digests.get()
+    md.reset()
+    val bytes = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** Distinct word 3-gram shingles; empty for null docs or docs under
