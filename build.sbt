@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g is the measured sweet spot on this workload: 8g GC-thrashes the
+  // string-heavy dedup suite at sf0.1, 48g G1 stalls for minutes
+  // (BASELINE.md tuning table). Xms=Xmx avoids resize pauses mid-bench.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // dozens of whole-stage-codegen'd queries in one JVM overflow the
   // default 240m JIT code cache; once full the compiler disables and
   // CPU-bound queries late in a run degrade 3-6x

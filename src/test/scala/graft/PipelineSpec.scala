@@ -37,8 +37,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(byName("Zero Price Gadget").getDouble(4) == 0.0)
   }
 
+  test("E1: price decimal flags match the reference (amazon1.py:50-58)") {
+    // columns_to_clean passes allow_decimal=False for both prices:
+    // the dot is stripped like any non-digit, so "₹1,099.50" -> 109950.0.
+    // Only `ratings` keeps its decimal point.
+    val probe = cleaned.filter(col("name") === "Decimal Price Probe Cable")
+      .select("ratings_cleaned", "discount_price_cleaned",
+        "actual_price_cleaned")
+      .collect().head
+    assert(probe.getDouble(0) == 4.0)
+    assert(probe.getDouble(1) == 54975.0)
+    assert(probe.getDouble(2) == 109950.0)
+  }
+
   test("E2: dedup keeps the first duplicate row") {
-    assert(raw.count() == 20)
+    assert(raw.count() == 21)
     assert(base.filter(col("name") === "Dell Wireless Mouse WM126").count() == 1)
     val kept = base.filter(col("name") === "Dell Wireless Mouse WM126")
       .select("row_id").collect().head.getLong(0)
