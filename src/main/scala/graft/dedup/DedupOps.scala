@@ -2,7 +2,6 @@ package graft.dedup
 
 import graft.engine.TextOps
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Large-scale document deduplication operators — the training-data
@@ -29,19 +28,50 @@ object DedupOps {
   val Bands = 4
 
   /** Word 3-gram shingles, distinct per doc: `(doc_id, shingle)`.
-    * Tokens are position-indexed per doc; `lead` over the per-doc
-    * window forms the 3-gram. */
-  def shingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs.select(col("doc_id"),
-      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
+    *
+    * Shuffle-free construction: the token array never leaves its doc
+    * row — three staggered `slice`s zipped elementwise give the
+    * trigrams directly, so no per-token window sort (the r1 `lead`
+    * window shuffled+sorted every token row; at 100 TB that sort IS
+    * the job). The only shuffle left is the `distinct`. */
+  def shingles(docs: DataFrame): DataFrame =
+    shinglesRaw(docs).distinct()
+
+  /** As [[shingles]] but WITHOUT the per-doc distinct — callers that
+    * re-key the shingle (e.g. [[shingleKeys]]) dedup on the smaller
+    * key instead of paying a string-payload shuffle here. */
+  def shinglesRaw(docs: DataFrame): DataFrame = {
+    val n3 = greatest(size(col("toks")) - 2, lit(0))
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("toks"), lit(1), n3).as("t0"),
+        slice(col("toks"), lit(2), n3).as("t1"),
+        slice(col("toks"), lit(3), n3).as("t2"))).as("g"))
       .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
+        concat_ws(" ", col("g.t0"), col("g.t1"), col("g.t2")).as("shingle"))
   }
+
+  /** Distinct 60-bit shingle keys per doc: `(doc_id, sk: long)` where
+    * `sk = conv(substr(md5(shingle), 1, 15), 16, 10)`. The 15-hex→long
+    * conversion is injective, so Spark joining/grouping on the LONG
+    * has IDENTICAL equality classes to the oracle grouping on the
+    * 15-char md5 prefix STRING — any 60-bit collision collides in both
+    * engines the same way, keeping the comparison exact. Longs cut the
+    * inverted-index join's shuffle payload and hashing cost ~3× vs raw
+    * shingle strings (the q24 r2 regression was allocation pressure in
+    * exactly that string-keyed stretch). */
+  def shingleKeys(docs: DataFrame): DataFrame =
+    shinglesRaw(docs)
+      .select(col("doc_id"),
+        conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("sk"))
+      .distinct()
+
+  /** Oracle rendering of [[shingleKeys]] over a shingle relation —
+    * DuckDB keeps the string prefix as the key (no 64-bit hex→int cast
+    * needed): equality classes match the Spark longs exactly. */
+  def shingleKeysSql(shinglesRel: String): String =
+    s"SELECT DISTINCT doc_id, substr(md5(shingle), 1, 15) AS sk FROM $shinglesRel"
 
   /** DuckDB rendering of [[shingles]] over relation `docs(doc_id, text)`. */
   def shinglesSql(docsRel: String): String =
@@ -136,13 +166,13 @@ object DedupOps {
   /** Exact Jaccard similarity for given `(i, j)` pairs over distinct
     * shingle sets — integer intersection/union, so the double division
     * is bit-identical across engines. */
-  def jaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+  def jaccard(pairs: DataFrame, sh: DataFrame, key: String = "shingle"): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // candidate pairs are few (LSH-bounded) — broadcast them so the big
     // shingle relation streams through hash joins without a shuffle
     val inter = broadcast(pairs)
-      .join(sh.select(col("doc_id").as("i"), col("shingle")), Seq("i"))
-      .join(sh.select(col("doc_id").as("j"), col("shingle")), Seq("j", "shingle"))
+      .join(sh.select(col("doc_id").as("i"), col(key)), Seq("i"))
+      .join(sh.select(col("doc_id").as("j"), col(key)), Seq("j", key))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
     // inter is the small (candidate-bounded) side; per-doc counts scale
     // with the corpus, so broadcast inter and stream counts past it
@@ -161,10 +191,14 @@ object DedupOps {
     * 1 iff the vote sum is non-negative. Long form keeps the oracle
     * dialect-portable (no ordered string_agg / bigint assembly). */
   def simhashBits(tf: DataFrame): DataFrame = {
-    tf.withColumn("b", explode(sequence(lit(0L), lit(63L))))
-      .withColumn("hx", expr("substr(md5(CAST(tok AS BINARY)), CAST(floor(b / 4.0) AS INT) + 1, 1)"))
-      .withColumn("hv", expr("instr('0123456789abcdef', hx) - 1"))
-      .withColumn("bit", expr("CAST(floor(hv / power(2.0, 3 - (b % 4))) AS BIGINT) % 2"))
+    // `hex` is projected BELOW the Generate (explode), so the digest is
+    // computed ONCE per (doc, token) row; the 64 exploded bit rows only
+    // pay a substr+instr+shift each (all codegen'd). The r2 plan had
+    // the md5 above the explode — 64 digests per token occurrence.
+    tf.withColumn("hex", md5(col("tok").cast("binary")))
+      .withColumn("b", explode(sequence(lit(0L), lit(63L))))
+      .withColumn("bit", expr(
+        "CAST(shiftright(instr('0123456789abcdef', substr(hex, CAST(b div 4 AS INT) + 1, 1)) - 1, CAST(3 - b % 4 AS INT)) AS BIGINT) % 2"))
       .groupBy("doc_id", "b")
       .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("vote"))
       .select(col("doc_id"), col("b"),

@@ -56,10 +56,11 @@ object DedupQueries {
       |sh AS (${DedupOps.shinglesSql("docs")}),
       |sigs AS (${DedupOps.minhashSignaturesSql("sh")}),
       |cand AS (${DedupOps.lshCandidatesSql("sigs")}),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shk AS (${DedupOps.shingleKeysSql("sh")}),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
       |inter AS (
       |SELECT c.i, c.j, count(*) AS inter FROM cand c
-      |JOIN sh sa ON sa.doc_id = c.i JOIN sh sb ON sb.doc_id = c.j AND sb.shingle = sa.shingle
+      |JOIN shk sa ON sa.doc_id = c.i JOIN shk sb ON sb.doc_id = c.j AND sb.sk = sa.sk
       |GROUP BY c.i, c.j)
       |SELECT i, j, inter, na.n AS na, nb.n AS nb,
       |CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
@@ -84,9 +85,12 @@ object DedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candIds = cand.select(col("i").as("doc_id"))
       .unionByName(cand.select(col("j").as("doc_id"))).distinct()
-    val sh = DedupOps.shingles(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+    // verification joins on 60-bit md5-prefix longs, not shingle
+    // strings — identical equality classes (see DedupOps.shingleKeys),
+    // a fraction of the shuffle bytes
+    val shk = DedupOps.shingleKeys(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    DedupOps.jaccard(cand, sh)
+    DedupOps.jaccard(cand, shk, key = "sk")
       .filter(col("jaccard") >= 0.5)
       .orderBy("i", "j")
   }
@@ -107,25 +111,31 @@ object DedupQueries {
   val q24 = Q("q24_ngram_jaccard",
     s"""WITH docs AS (${DedupOps.augmentedSql}),
       |sh AS (${DedupOps.shinglesSql("docs")}),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |shk AS (${DedupOps.shingleKeysSql("sh")}),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM shk GROUP BY doc_id),
       |inter AS (
       |SELECT sa.doc_id AS i, sb.doc_id AS j, count(*) AS inter
-      |FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle AND sa.doc_id < sb.doc_id
+      |FROM shk sa JOIN shk sb ON sb.sk = sa.sk AND sa.doc_id < sb.doc_id
       |GROUP BY sa.doc_id, sb.doc_id)
       |SELECT i, j, inter, na.n AS na, nb.n AS nb,
       |CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) AS jaccard
       |FROM inter JOIN cnt na ON na.doc_id = i JOIN cnt nb ON nb.doc_id = j
       |WHERE CAST(inter AS DOUBLE) / CAST(na.n + nb.n - inter AS DOUBLE) >= 0.2
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
-    val sh = DedupOps.shingles(DedupOps.augmented(Tables(s, dir, "documents")))
+    // the inverted index is keyed by 60-bit md5-prefix longs, not
+    // shingle strings: identical equality classes (DedupOps.shingleKeys)
+    // and ~3× less shuffle/allocation in the df²-heavy self-join — the
+    // exact stretch that regressed under allocation pressure in r2
+    val sh = DedupOps.shingleKeys(DedupOps.augmented(Tables(s, dir, "documents"))
+        .repartition(s.sparkContext.defaultParallelism))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // intersection counted directly inside the inverted-index self-join
-    // (one shuffle on shingle, one on the pair key) — never re-join the
+    // (one shuffle on sk, one on the pair key) — never re-join the
     // full pair set against the shingle table, and never broadcast it:
     // co-shingle pairs scale with sum(df^2), not with the candidates
-    val a = sh.select(col("doc_id").as("i"), col("shingle"))
-    val b = sh.select(col("doc_id").as("j"), col("shingle"))
-    val inter = a.join(b, Seq("shingle")).filter(col("i") < col("j"))
+    val a = sh.select(col("doc_id").as("i"), col("sk"))
+    val b = sh.select(col("doc_id").as("j"), col("sk"))
+    val inter = a.join(b, Seq("sk")).filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     inter
