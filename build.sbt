@@ -29,6 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 16g is the measured sweet spot on this workload: 8g GC-thrashes the
   // string-heavy dedup suite at sf0.1, 48g G1 stalls for minutes
   // (BASELINE.md tuning table). Xms=Xmx avoids resize pauses mid-bench.
+  // Hosts with <16 GB RAM MUST override via SPARK_DRIVER_MEM (e.g.
+  // SPARK_DRIVER_MEM=8g) — Xms reserves the full heap at JVM launch.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   // dozens of whole-stage-codegen'd queries in one JVM overflow the
