@@ -27,11 +27,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // SPARK_GRAFT_ONLY=q23,q24 restricts to a prefix-matched subset —
-    // local iteration aid; the driver leaves it unset and runs all
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // SPARK_GRAFT_ONLY=q23,q24 restricts to a subset — local iteration
+    // aid; the driver leaves it unset and runs all. An element matches a
+    // query by its full name or its id (the part before the first '_'),
+    // never by bare prefix: "q2" selects nothing, "q22" selects exactly
+    // q22_lsh_neardup.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
+      .filter { case (n, _) =>
+        only.forall(_.exists(e => e == n || e == n.takeWhile(_ != '_')))
+      }
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache() // drop per-query persists between runs

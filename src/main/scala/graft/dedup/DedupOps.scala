@@ -163,9 +163,12 @@ object DedupOps {
        |ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id""".stripMargin
   }
 
-  /** Exact Jaccard similarity for given `(i, j)` pairs over distinct
-    * shingle sets — integer intersection/union, so the double division
-    * is bit-identical across engines. */
+  /** Jaccard similarity for given `(i, j)` pairs over distinct shingle
+    * KEYS — integer intersection/union, so the double division is
+    * bit-identical across engines. Exact when `key` holds the shingles
+    * themselves; q22/q24 feed 60-bit md5-prefix keys instead, where
+    * distinct shingles collide with probability ~2⁻⁶⁰ per pair, so the
+    * result is exact up to that (negligible, but not zero). */
   def jaccard(pairs: DataFrame, sh: DataFrame, key: String = "shingle"): DataFrame = {
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // candidate pairs are few (LSH-bounded) — broadcast them so the big

@@ -247,8 +247,11 @@ object RelationalQueries {
       val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
       val n = Tables(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
       val r = Tables(s, dir, "region").select("r_regionkey", "r_name")
+      // customer is NOT hint-broadcast: unlike nation/region it grows
+      // linearly with scale factor, so the choice is left to AQE (at
+      // test SFs it still picks a broadcast join; at 100 TB it won't)
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
