@@ -11,15 +11,23 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries {
 
-  /** `events.ts` is nanosecond parquet, which Spark's vectorized reader
-    * rejects; read nanos as long (legacy conf) and convert to
-    * microsecond TIMESTAMP_NTZ (`ts div 1000` — exact integer division;
-    * the data carries no sub-microsecond digits). The oracle casts the
+  /** `events.ts` is nanosecond parquet. Older Sparks reject it in the
+    * vectorized reader, so we read nanos as long (legacy conf) and
+    * convert to microsecond TIMESTAMP_NTZ (`ts div 1000` — exact
+    * integer division; the data carries no sub-microsecond digits).
+    * Spark 4.1+ drops that conf and instead reads parquet NANOS
+    * natively as a microsecond-truncated TIMESTAMP_NTZ — identical
+    * values — so branch on the resolved schema. The oracle casts the
     * same column to microsecond TIMESTAMP, so both engines agree. */
   def events(s: org.apache.spark.sql.SparkSession, dir: String) = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(s, dir, "events")
-      .withColumn("ts", expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+    val raw = Tables(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+      case _ => raw // already µs-truncated TIMESTAMP_NTZ (Spark 4.1+)
+    }
   }
 
   /** The events relation as seen by the DuckDB oracle (ns → µs). */
