@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): times every registered query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
@@ -14,7 +14,24 @@ import org.apache.spark.sql.SparkSession
   *    sf0.001 warmup does not warm those plans) plus any JIT recompile;
   *    the second run is the steady-state number a long-lived cluster
   *    session would see. Round-1 showed 2-5x per-query run-to-run noise
-  *    on this VM when timing cold single runs. */
+  *    on this VM when timing cold single runs.
+  *
+  * Timed action (r21 measurement fix, guide §1.4): the noop sink
+  * (`write.format("noop")`) instead of `count()`. `count()` collapses
+  * to an agg over the child, which lets the optimizer PRUNE projection
+  * columns and ELIMINATE final sorts — projection-heavy queries
+  * (q02/q08/q16/q29/q36) were timed without the very work they declare.
+  * The noop sink computes every column of every row and discards it.
+  * Old count()-based numbers are preserved in OPTIMIZATION_r21.md.
+  *
+  * Plan observability (r21): per query, a deterministic hash of the
+  * normalized static plan plus Exchange/BroadcastExchange counts is
+  * written to SPARK_GRAFT_PLAN_META (default target/bench_plan_meta.json)
+  * and echoed to stderr — seven rounds showed up-to-16x per-query
+  * wall-time noise on identical bytecode, so plan identity, not
+  * seconds, is the regression signal. Stdout keeps the single JSON
+  * line of the driver contract.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,27 +55,77 @@ object Bench {
       .filter { case (n, _) =>
         only.forall(_.exists(e => e == n || e == n.takeWhile(_ != '_')))
       }
-    queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    // noop sink: computes every column of every row, discards the
+    // result (guide §1.4) — the timed work is the declared query, not
+    // a count()-pruned subset of it. SPARK_GRAFT_TIMED_ACTION=count
+    // restores the old action for A/B comparison against historical
+    // numbers (the driver leaves it unset → noop).
+    val countAction = sys.env.get("SPARK_GRAFT_TIMED_ACTION").contains("count")
+    def runOnce(df: DataFrame): Unit =
+      if (countAction) { df.count(); () }
+      else df.write.format("noop").mode("overwrite").save()
+    queries.foreach { case (name, fn) =>
+      spark.sparkContext.setJobDescription(s"warmup: $name")
+      try runOnce(fn(spark, warmDir)) catch { case _: Throwable => () }
       spark.catalog.clearCache() // drop per-query persists between runs
     }
-    def timedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timedRun(name: String,
+        fn: (SparkSession, String) => DataFrame): Double = {
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { runOnce(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
       // failed queries report -1.0, not their time-to-crash
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       spark.catalog.clearCache()
       dt
     }
+    // deterministic static-plan fingerprint: expression ids and plan
+    // ids normalized out, so identical code → identical hash across
+    // runs/VMs while any real plan change flips it
+    def planMeta(fn: (SparkSession, String) => DataFrame): Option[(String, Int, Int)] =
+      try {
+        val qe = fn(spark, sfDir).queryExecution
+        val plan = qe.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+          .replaceAll("#\\d+", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hash = md.digest(plan.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        // counts from the one-line-per-operator tree (the formatted
+        // string lists operators twice: tree + details)
+        val tree = qe.executedPlan.toString
+        val bcasts = "BroadcastExchange".r.findAllMatchIn(tree).length
+        val shuffles = "\\bExchange\\b".r.findAllMatchIn(tree).length
+        spark.catalog.clearCache()
+        Some((hash, shuffles, bcasts))
+      } catch { case _: Throwable => None }
     val results = queries.map { case (name, fn) =>
-      val first = timedRun(fn)
+      val first = timedRun(name, fn)
       // a failed SECOND run must not discard a valid first measurement
       val dt = if (first < 0) first else {
-        val second = timedRun(fn)
+        val second = timedRun(name, fn)
         if (second < 0) first else math.min(first, second)
       }
       name -> dt
+    }
+    val metaPath = sys.env.getOrElse("SPARK_GRAFT_PLAN_META",
+      "target/bench_plan_meta.json")
+    val metas = queries.map { case (name, fn) => name -> planMeta(fn) }
+    val metaJson = metas.map {
+      case (n, Some((h, ex, bc))) =>
+        s""""$n":{"plan_hash":"$h","exchanges":$ex,"broadcasts":$bc}"""
+      case (n, None) => s""""$n":null"""
+    }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(metaPath).toAbsolutePath.getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath), metaJson)
+    } catch { case _: Throwable => () }
+    metas.foreach {
+      case (n, Some((h, ex, bc))) =>
+        System.err.println(s"[plan] $n hash=$h exchanges=$ex broadcasts=$bc")
+      case (n, None) => System.err.println(s"[plan] $n hash=unavailable")
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

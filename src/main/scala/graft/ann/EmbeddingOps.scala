@@ -3,7 +3,7 @@ package graft.ann
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,76 @@ object EmbeddingOps {
     emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
       .select(col("vec_id"), col("d").cast("long").as("d"),
         round(col("x").cast("double") * QuantScale).cast("long").as("q"))
+
+  /** Array-form quantized embedding: `(vec_id, qv: array<long>, n2)`
+    * with `qv[d] = round(x_d * 1e6)` (identical per-element expression
+    * to [[quantized]]) and `n2 = Σ qv[d]²` the exact squared norm.
+    * The vectors are dense (fixed [[Dims]]), so every long-form
+    * groupBy/join on `d` collapses to a row-local array fold: dot
+    * products and norms become zero-shuffle map work instead of a
+    * 64×-row explode + hash aggregation. */
+  def quantizedVec(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * QuantScale).cast("long")).as("qv"))
+      .withColumn("n2", dotQ(col("qv"), col("qv")))
+
+  /** Exact integer dot product of two long arrays (row-local fold —
+    * same summands, in index order, as the long-form join on `d`).
+    *
+    * Measured note (r21): this is the HOF form on purpose. A spelled-
+    * out 64-term `getItem` product sum was tried to get whole-stage
+    * codegen and was 2-4x SLOWER: 64-term trees × several dots per row
+    * blow the 64 KB codegen method limit, so the whole stage falls
+    * back to interpreted evaluation of giant expression trees. The HOF
+    * fold is interpreted too but allocation-light and O(Dims) flat. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Sign-LSH bucket keys from array-form vectors — delegates to the
+    * long-form [[buckets]] pipeline over a `posexplode` of `qv`
+    * (identical `(vec_id, d, q)` rows, identical buckets).
+    *
+    * Measured note (r21): computing the 16-32 plane projections as
+    * per-row array folds (HOF) or literal-weight expression sums was
+    * tried and reverted — both leave codegen (CodegenFallback / 64 KB
+    * method blowup) and lost 2-8x to this fully codegen'd
+    * join + two-level hash-aggregate pipeline. Callers persist the
+    * (tiny) result so both sides of the candidate self-join share one
+    * computation. */
+  def bucketsVec(spark: SparkSession, vecs: DataFrame,
+      planesPerTable: Int = PlanesPerTable): DataFrame =
+    buckets(spark,
+      vecs.select(col("vec_id"), posexplode(col("qv")).as(Seq("d", "q")))
+        .select(col("vec_id"), col("d").cast("long").as("d"), col("q")),
+      planesPerTable)
+
+  /** Exact cosine top-k from array-form vectors `(vec_id, qv, n2)` for
+    * candidate pairs `(i, j)`: same integer dot / norms / IEEE chain /
+    * tie-break as [[rankPairs]], but each pair costs one 64-element
+    * fold instead of 64 joined rows plus a hash aggregation. */
+  def rankPairsVec(vecs: DataFrame, pairs: DataFrame, k: Int): DataFrame =
+    rankSims(simsVec(vecs, pairs), k)
+
+  /** Rank unrounded `(i, j, cos)` per i: (cos desc, j asc), keep k —
+    * the shared ranking tail of the ANN queries. */
+  def rankSims(sims: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("i")).orderBy(desc("cos"), asc("j"))
+    sims.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("i"), col("j"), col("rn"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Unrounded exact cosine `(i, j, cos)` for candidate pairs over
+    * array-form vectors. */
+  def simsVec(vecs: DataFrame, pairs: DataFrame): DataFrame =
+    pairs
+      .join(vecs.select(col("vec_id").as("i"), col("qv").as("va"),
+        col("n2").as("n2i")), Seq("i"))
+      .join(vecs.select(col("vec_id").as("j"), col("qv").as("vb"),
+        col("n2").as("n2j")), Seq("j"))
+      .select(col("i"), col("j"), (dotQ(col("va"), col("vb")).cast("double") /
+        (sqrt(col("n2i").cast("double")) * sqrt(col("n2j").cast("double")))).as("cos"))
 
   def quantizedSql: String =
     s"""SELECT vec_id, d, CAST(round(CAST(x AS DOUBLE) * $QuantScale) AS BIGINT) AS q

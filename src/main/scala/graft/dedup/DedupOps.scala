@@ -61,11 +61,16 @@ object DedupOps {
     * shingle strings (the q24 r2 regression was allocation pressure in
     * exactly that string-keyed stretch). */
   def shingleKeys(docs: DataFrame): DataFrame =
+    shingleKeysRaw(docs).distinct()
+
+  /** As [[shingleKeys]] but WITHOUT the distinct — callers that
+    * re-partition by `sk` first (q24) get the distinct, and any
+    * downstream sk-keyed join, for free on that one exchange. */
+  def shingleKeysRaw(docs: DataFrame): DataFrame =
     shinglesRaw(docs)
       .select(col("doc_id"),
         conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
           .cast("long").as("sk"))
-      .distinct()
 
   /** Oracle rendering of [[shingleKeys]] over a shingle relation —
     * DuckDB keeps the string prefix as the key (no 64-bit hex→int cast
@@ -192,19 +197,32 @@ object DedupOps {
     * [0, 64): per token, bit b of its md5 is read from the hex digit
     * at position b/4; the token's tf votes +tf/−tf; the doc's bit is
     * 1 iff the vote sum is non-negative. Long form keeps the oracle
-    * dialect-portable (no ordered string_agg / bigint assembly). */
-  def simhashBits(tf: DataFrame): DataFrame = {
-    // `hex` is projected BELOW the Generate (explode), so the digest is
-    // computed ONCE per (doc, token) row; the 64 exploded bit rows only
-    // pay a substr+instr+shift each (all codegen'd). The r2 plan had
-    // the md5 above the explode — 64 digests per token occurrence.
-    tf.withColumn("hex", md5(col("tok").cast("binary")))
-      .withColumn("b", explode(sequence(lit(0L), lit(63L))))
-      .withColumn("bit", expr(
-        "CAST(shiftright(instr('0123456789abcdef', substr(hex, CAST(b div 4 AS INT) + 1, 1)) - 1, CAST(3 - b % 4 AS INT)) AS BIGINT) % 2"))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("vote"))
-      .select(col("doc_id"), col("b"),
+    * dialect-portable (no ordered string_agg / bigint assembly).
+    *
+    * Computed from raw token OCCURRENCES `(doc_id, tok)`: the vote sum
+    * Σ_tok tf·(±1) equals Σ_occurrence (±1) exactly (integer sums), so
+    * the (doc, tok) tf pre-aggregation — a full extra shuffle — is
+    * dropped, and the 64 per-bit votes are 64 aggregation columns over
+    * one hash aggregate keyed by doc_id instead of a 64×-row explode
+    * shuffled on (doc_id, b). One digest per occurrence (`hex` is a
+    * shared projected column; the 64 vote expressions reuse it via
+    * codegen subexpression elimination), one exchange before the final
+    * sort. */
+  def simhashBits(toks: DataFrame): DataFrame = {
+    val votes = (0 until 64).map { b =>
+      val pos = b / 4 + 1
+      val shift = 3 - b % 4
+      sum(expr(
+        s"CAST(shiftright(instr('0123456789abcdef', substr(hex, $pos, 1)) - 1, $shift) AS BIGINT) % 2 * 2 - 1"))
+        .as(s"v$b")
+    }
+    toks.withColumn("hex", md5(col("tok").cast("binary")))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until 64).map(b => col(s"v$b")): _*))
+          .as(Seq("b", "vote")))
+      .select(col("doc_id"), col("b").cast("long").as("b"),
         when(col("vote") >= 0, 1L).otherwise(0L).as("bit"))
   }
 

@@ -17,17 +17,25 @@ object ProductPipeline {
   /** S2 — CSV scan with header + schema inference (`amazon1.py:24-25`)
     * and a stable `row_id` captured immediately at read (SURVEY.md
     * §7.4.1: pandas row-order semantics — dedup keep-first, stable
-    * ties, first-match lookup — need a total order; the global
-    * row_number here is fine for a single-file products CSV, which is
-    * the reference's shape; a multi-file 100 TB ingest would derive it
-    * from (file, offset) instead). */
-  def loadCsv(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true")
+    * ties, first-match lookup — need a total order).
+    *
+    * Scale-safe id derivation (r21): `zipWithIndex` assigns the same
+    * 0-based (partition, offset) total order the old
+    * `row_number() OVER (ORDER BY monotonically_increasing_id())`
+    * produced, but with one lightweight per-partition count job plus a
+    * map — the old global no-partition window collapsed the entire
+    * ingest through a single task, a scale-killer on a multi-file
+    * 100 TB load. */
+  def loadCsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(path)
-      .withColumn("mono", monotonically_increasing_id())
-      .withColumn("row_id",
-        (row_number().over(Window.orderBy("mono")) - 1).cast("long"))
-      .drop("mono")
+    val schema = raw.schema.add("row_id",
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rows = raw.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rows, schema)
+  }
 
   /** E1 cleaning — P1 ×4 (`amazon1.py:51-59`) + P2/P3 discount
     * derivations (`amazon1.py:87-89`) with the NaN-vs-null policy of

@@ -26,7 +26,12 @@ object AnalysisQueries {
         |WHEN score_es >= score_de AND score_es >= score_fr THEN 'es'
         |WHEN score_de >= score_fr THEN 'de' ELSE 'fr' END AS predicted
         |FROM scores ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = Tables(s, dir, "documents")
+      // explode + codegen'd conditional sums (the array-fold form was
+      // tried and reverted: higher-order `filter` is CodegenFallback —
+      // interpreted + boxed per token — and measured ~2x slower than
+      // this fully codegen'd explode + hash aggregate); spread
+      // parallelizes the tokenize stage
+      val toks = Tables.spread(Tables(s, dir, "documents").select("doc_id", "text"))
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       val scoreCols = TextAnalysis.Markers.map { case (l, words) =>
         sum(when(col("tok").isin(words: _*), 1).otherwise(0)).cast("long").as(s"score_$l")
@@ -63,8 +68,11 @@ object AnalysisQueries {
       |round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0) * (1.0 - CAST(n_nonalnum AS DOUBLE) / CAST(n_chars_m AS DOUBLE)) * (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)), 6) AS quality
       |FROM base JOIN tok_agg USING (doc_id) ORDER BY doc_id""".stripMargin) {
     (s, dir) =>
+      // explode + codegen'd aggregation (array-fold form tried and
+      // reverted — HOF `filter`/`aggregate` are CodegenFallback and
+      // measured ~2x slower); spread parallelizes the tokenize stage
       val docs = Tables(s, dir, "documents")
-      val tokAgg = docs
+      val tokAgg = Tables.spread(docs.select("doc_id", "text"))
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),

@@ -17,13 +17,21 @@ object AnnQueries {
       |(SELECT DISTINCT vec_id FROM qv WHERE vec_id < 50) a,
       |(SELECT DISTINCT vec_id FROM qv) b WHERE b.vec_id <> a.vec_id),
       |${EmbeddingOps.rankPairsSql(10)}""".stripMargin) { (s, dir) =>
-    val qv = EmbeddingOps.quantized(Tables(s, dir, "embeddings"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ids = qv.select("vec_id").distinct()
-    val cand = ids.filter(col("vec_id") < 50).select(col("vec_id").as("i"))
-      .crossJoin(ids.select(col("vec_id").as("j")))
-      .filter(col("j") =!= col("i"))
-    EmbeddingOps.rankPairs(qv, cand, 10).orderBy("i", "rn")
+    // array-form vectors: the 64-row-per-vector long form (join on d +
+    // hash agg per pair) collapses to one row-local fold per pair — the
+    // 50-query side broadcasts and the corpus streams through a single
+    // map stage before the ranking window
+    val vecs = EmbeddingOps.quantizedVec(Tables(s, dir, "embeddings"))
+    val a = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("i"), col("qv").as("va"), col("n2").as("n2i"))
+    val b = vecs.select(col("vec_id").as("j"), col("qv").as("vb"),
+      col("n2").as("n2j"))
+    val sims = b.crossJoin(broadcast(a)).filter(col("j") =!= col("i"))
+      .select(col("i"), col("j"),
+        (EmbeddingOps.dotQ(col("va"), col("vb")).cast("double") /
+          (sqrt(col("n2i").cast("double")) * sqrt(col("n2j").cast("double"))))
+          .as("cos"))
+    EmbeddingOps.rankSims(sims, 10).orderBy("i", "rn")
   }
 
   /** Sign-LSH bucketed ANN: 16 md5-derived integer hyperplanes in 4
@@ -39,15 +47,19 @@ object AnnQueries {
       |JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id <> a.vec_id
       |WHERE a.vec_id < 50),
       |${EmbeddingOps.rankPairsSql(5)}""".stripMargin) { (s, dir) =>
-    val qv = EmbeddingOps.quantized(Tables(s, dir, "embeddings"))
+    // buckets via the codegen'd long-form pipeline, persisted so both
+    // sides of the candidate self-join share one computation; the
+    // exact re-rank runs on array-form rows (one fold per pair)
+    val vecs = EmbeddingOps.quantizedVec(Tables(s, dir, "embeddings"))
+    val buckets = EmbeddingOps.bucketsVec(s, vecs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = EmbeddingOps.buckets(s, qv)
     val a = buckets.filter(col("vec_id") < 50)
       .select(col("vec_id").as("i"), col("tbl"), col("bucket"))
     val b = buckets.select(col("vec_id").as("j"), col("tbl"), col("bucket"))
-    val cand = a.join(b, Seq("tbl", "bucket")).filter(col("j") =!= col("i"))
+    val cand = b.join(broadcast(a), Seq("tbl", "bucket"))
+      .filter(col("j") =!= col("i"))
       .select("i", "j").distinct()
-    EmbeddingOps.rankPairs(qv, cand, 5).orderBy("i", "rn")
+    EmbeddingOps.rankPairsVec(vecs, cand, 5).orderBy("i", "rn")
   }
 
   /** Embedding-cosine near-dup pairs (the fifth dedup method): the
@@ -74,29 +86,27 @@ object AnnQueries {
       |SELECT i, j, CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos
       |FROM dots JOIN norms na ON na.vec_id = i JOIN norms nb ON nb.vec_id = j)
       |WHERE cos >= 0.99 ORDER BY i, j""".stripMargin) { (s, dir) =>
-    val qv0 = EmbeddingOps.quantized(Tables(s, dir, "embeddings"))
-    val qv = qv0.unionByName(
+    // array form end to end: augmentation nudges qv[0] of every 20th
+    // vector (same CASE the oracle applies in long form), norms are
+    // row-local folds, and bucketsVec is a pure map — the whole
+    // candidate-generation side runs with zero pre-join shuffles
+    val qv0 = EmbeddingOps.quantizedVec(Tables(s, dir, "embeddings"))
+    val vecs = qv0.unionByName(
       qv0.filter(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("d"),
-          (col("q") + when(col("d") === 0, 10000L).otherwise(0L)).as("q")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .select((col("vec_id") + 100000L).as("vec_id"),
+          transform(col("qv"),
+            (x, i) => when(i === 0, x + 10000L).otherwise(x)).as("qv"))
+        .withColumn("n2", EmbeddingOps.dotQ(col("qv"), col("qv"))))
     // 8 planes per table (vs 4 for ANN search): near-identical pairs
-    // survive the longer bucket, random collisions drop ~16x
-    val buckets = EmbeddingOps.buckets(s, qv, planesPerTable = 8)
+    // survive the longer bucket, random collisions drop ~16x; persist:
+    // both candidate sides read it
+    val buckets = EmbeddingOps.bucketsVec(s, vecs, planesPerTable = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col("vec_id").as("i"), col("tbl"), col("bucket"))
     val b = buckets.select(col("vec_id").as("j"), col("tbl"), col("bucket"))
     val cand = a.join(b, Seq("tbl", "bucket")).filter(col("i") < col("j"))
       .select("i", "j").distinct()
-    val norms = qv.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
-    val dots = broadcast(cand)
-      .join(qv.select(col("vec_id").as("i"), col("d"), col("q").as("qa")), Seq("i"))
-      .join(qv.select(col("vec_id").as("j"), col("d"), col("q").as("qb")), Seq("j", "d"))
-      .groupBy("i", "j").agg(sum(col("qa") * col("qb")).as("dot"))
-    broadcast(dots)
-      .join(norms.select(col("vec_id").as("i"), col("n2").as("n2i")), Seq("i"))
-      .join(norms.select(col("vec_id").as("j"), col("n2").as("n2j")), Seq("j"))
-      .select(col("i"), col("j"), (col("dot").cast("double") /
-        (sqrt(col("n2i").cast("double")) * sqrt(col("n2j").cast("double")))).as("cos"))
+    EmbeddingOps.simsVec(vecs, broadcast(cand))
       .filter(col("cos") >= 0.99)
       .select(col("i"), col("j"), round(col("cos"), 6).as("cos"))
       .orderBy("i", "j")
@@ -125,18 +135,18 @@ object AnnQueries {
       |cand AS (SELECT DISTINCT i, j FROM probes JOIN assign USING (cid) WHERE j <> i),
       |${EmbeddingOps.rankTailSql(5)}""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val qv = EmbeddingOps.quantized(Tables(s, dir, "embeddings"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val norms = qv.groupBy("vec_id").agg(sum(col("q") * col("q")).as("n2"))
-    val centv = qv.filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("cid"), col("d"), col("q").as("qc"))
-    val adots = qv.join(broadcast(centv), Seq("d"))
-      .groupBy("vec_id", "cid").agg(sum(col("q") * col("qc")).as("dot"))
-    val asims = adots
-      .join(norms.select(col("vec_id"), col("n2").as("nv")), Seq("vec_id"))
-      .join(broadcast(norms.select(col("vec_id").as("cid"), col("n2").as("nc"))), Seq("cid"))
-      .select(col("vec_id"), col("cid"), (col("dot").cast("double") /
-        (sqrt(col("nv").cast("double")) * sqrt(col("nc").cast("double")))).as("acos"))
+    // the assignment pass — every vector against every centroid — is a
+    // broadcast cross join over array-form rows (one 64-element fold
+    // per pair) instead of a 64x long-form join + hash aggregation of
+    // |vectors| x |centroids| x 64 rows; norms ride along row-locally
+    val vecs = EmbeddingOps.quantizedVec(Tables(s, dir, "embeddings"))
+    val cent = vecs.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cid"), col("qv").as("qc"), col("n2").as("nc"))
+    val asims = vecs.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        (EmbeddingOps.dotQ(col("qv"), col("qc")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("nc").cast("double"))))
+          .as("acos"))
     val w = Window.partitionBy(col("vec_id")).orderBy(desc("acos"), asc("cid"))
     val ranked = asims.withColumn("rk", row_number().over(w))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -146,7 +156,7 @@ object AnnQueries {
       .select(col("vec_id").as("i"), col("cid"))
     val cand = broadcast(probes).join(assign, Seq("cid"))
       .filter(col("j") =!= col("i")).select("i", "j").distinct()
-    EmbeddingOps.rankPairs(qv, cand, 5).orderBy("i", "rn")
+    EmbeddingOps.rankPairsVec(vecs, cand, 5).orderBy("i", "rn")
   }
 
   def all: Seq[Q] = Seq(q25, q26, q41, q46)

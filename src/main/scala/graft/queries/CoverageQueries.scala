@@ -69,8 +69,14 @@ object CoverageQueries {
         |round(avg(exp(-(($x - $g) * ($x - $g)) / (2.0 * ($h * $h))) / ($h * 2.5066282746310002)) * 1000000.0, 6) AS density_ppm
         |FROM q, m, range(21) t(gi)
         |GROUP BY gi, mn, mx ORDER BY gi""".stripMargin) { (s, dir) =>
-      val q = Tables(s, dir, "orders").select(CleanOps.cents(col("o_totalprice")).as("v"))
-      val m = q.agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      // spread the kernel stage: the 21x-expanded exp() chain is the
+      // cost and the single-split scan would run it on one core; the
+      // min/max pass stays a plain (cheap) scan
+      val q = Tables.spread(
+        Tables(s, dir, "orders").select(CleanOps.cents(col("o_totalprice")).as("v")))
+      val m = Tables(s, dir, "orders")
+        .select(CleanOps.cents(col("o_totalprice")).as("v"))
+        .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
       val grid = s.range(21).select(col("id").as("gi"))
       val hC = (col("mx") - col("mn")).cast("double") / 100.0 * 0.1
       val gC = col("mn").cast("double") / 100.0 +

@@ -35,11 +35,10 @@ object DedupQueries {
     s"""WITH sh AS (${DedupOps.shinglesSql("documents")})
       |${DedupOps.minhashSignaturesSql("sh")}
       |ORDER BY doc_id, h""".stripMargin) { (s, dir) =>
-    // repartition first: the corpus is one small parquet file (one
-    // input split), and signing is the CPU cost — spread it across
-    // cores before the map-side expression
-    Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    // spread first (scale-adaptive): the corpus is one small parquet
+    // file (one input split), and signing is the CPU cost — a
+    // many-split production scan skips the exchange
+    Tables.spread(Tables(s, dir, "documents").select("doc_id", "text"))
       .select(col("doc_id"),
         posexplode(graft.functions.MinHashExprs.minhash_sigs(col("text")))
           .as(Seq("h", "minhash")))
@@ -71,13 +70,17 @@ object DedupQueries {
     // bucket-join for candidates, then build shingle sets ONLY for
     // candidate docs: the full corpus never pays the explode+window
     // shingle pipeline, just one map-side signing pass
-    val docs = DedupOps.augmented(Tables(s, dir, "documents"))
-      .repartition(s.sparkContext.defaultParallelism)
+    val docs = Tables.spread(
+      DedupOps.augmented(Tables(s, dir, "documents")))
+    // repartition by the join key BEFORE persisting: the cached
+    // partitioning serves both sides of the (band, sig) self-join, so
+    // the join itself is exchange-free (2 post-cache exchanges → 0)
     val bandSigs = docs
       .select(col("doc_id"),
         posexplode(graft.functions.MinHashExprs.band_sigs(col("text")))
           .as(Seq("band", "sig")))
       .select(col("doc_id"), col("band").cast("long").as("band"), col("sig"))
+      .repartition(col("band"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cand feeds the id-set, the jaccard inter join, and the result —
     // persist or the band-sig self-join re-executes per branch
@@ -100,9 +103,12 @@ object DedupQueries {
     s"""WITH tf AS (${SimilarityOps.termFreqSql(dropStopwords = false)})
       |${DedupOps.simhashBitsSql("tf")}
       |ORDER BY doc_id, b""".stripMargin) { (s, dir) =>
-    DedupOps.simhashBits(
-      SimilarityOps.termFreq(Tables(s, dir, "documents"), dropStopwords = false))
-      .orderBy("doc_id", "b")
+    // token OCCURRENCES, not the tf relation: Σ tf·(±1) ≡ Σ_occ (±1)
+    // exactly, so the (doc, tok) pre-aggregation shuffle is dropped
+    // (see DedupOps.simhashBits); spread parallelizes the digest work
+    val toks = Tables.spread(Tables(s, dir, "documents").select("doc_id", "text"))
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    DedupOps.simhashBits(toks).orderBy("doc_id", "b")
   }
 
   /** Exact n-gram Jaccard near-dup over the augmented corpus via the
@@ -126,8 +132,14 @@ object DedupQueries {
     // shingle strings: identical equality classes (DedupOps.shingleKeys)
     // and ~3× less shuffle/allocation in the df²-heavy self-join — the
     // exact stretch that regressed under allocation pressure in r2
-    val sh = DedupOps.shingleKeys(DedupOps.augmented(Tables(s, dir, "documents"))
-        .repartition(s.sparkContext.defaultParallelism))
+    // ONE exchange establishes the sk partitioning that the distinct
+    // AND both sides of the inverted-index self-join then reuse
+    // (HashPartitioning(sk) satisfies the (doc_id, sk) aggregation and
+    // the sk equi-join): 3 full-data exchanges → 1
+    val sh = DedupOps.shingleKeysRaw(Tables.spread(
+        DedupOps.augmented(Tables(s, dir, "documents"))))
+      .repartition(col("sk"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // intersection counted directly inside the inverted-index self-join
     // (one shuffle on sk, one on the pair key) — never re-join the

@@ -83,28 +83,39 @@ object RelationalQueries {
     Q("q03_summary_stats",
       statCols.map(statSql).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) {
       (s, dir) =>
-        val li = Tables(s, dir, "lineitem")
-        val parts = statCols.map { c =>
-          li.select(CleanOps.cents(col(c)).as("v"))
-            .agg(
-              count(col("v")).as("cnt"),
-              sum(col("v").cast("decimal(38,0)")).cast("double").as("sd"),
-              sum((col("v") * col("v")).cast("decimal(38,0)")).cast("double").as("ssq"),
-              min(col("v")).as("mn"), max(col("v")).as("mx"),
-              expr("percentile(v, 0.25)").as("p25r"),
-              expr("percentile(v, 0.5)").as("p50r"),
-              expr("percentile(v, 0.75)").as("p75r"))
-            .select(
-              lit(c).as("col_name"), col("cnt"),
-              round(col("sd") / col("cnt") / 100.0, 6).as("mean"),
-              round(sqrt((col("ssq") - col("sd") * col("sd") / col("cnt")) / (col("cnt") - 1)) / 100.0, 6).as("std"),
-              (col("mn").cast("double") / 100.0).as("min_v"),
-              round(col("p25r") / 100.0, 6).as("p25"),
-              round(col("p50r") / 100.0, 6).as("p50"),
-              round(col("p75r") / 100.0, 6).as("p75"),
-              (col("mx").cast("double") / 100.0).as("max_v"))
+        // ONE pass over lineitem instead of four unioned scans: all
+        // four columns' aggregates (exact integer moments + exact
+        // percentiles) run in a single aggregate, then the one wide row
+        // is exploded into the four output rows. Every per-column
+        // expression chain is unchanged, so values are bit-identical.
+        // spread: the exact-percentile partial buffers are the cost
+        // (ObjectHashAggregate collecting every value); on a
+        // single-split scan they would all build in one task
+        val li = Tables.spread(Tables(s, dir, "lineitem")
+          .select(statCols.map(c => CleanOps.cents(col(c)).as(c)): _*))
+        val aggs = statCols.flatMap { c => Seq(
+          count(col(c)).as(s"cnt_$c"),
+          sum(col(c).cast("decimal(38,0)")).cast("double").as(s"sd_$c"),
+          sum((col(c) * col(c)).cast("decimal(38,0)")).cast("double").as(s"ssq_$c"),
+          min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+          expr(s"percentile($c, 0.25)").as(s"p25_$c"),
+          expr(s"percentile($c, 0.5)").as(s"p50_$c"),
+          expr(s"percentile($c, 0.75)").as(s"p75_$c"))
         }
-        parts.reduce(_ unionAll _).orderBy("col_name")
+        val one = li.agg(aggs.head, aggs.tail: _*)
+        val rows = statCols.map { c =>
+          struct(
+            lit(c).as("col_name"), col(s"cnt_$c").as("cnt"),
+            round(col(s"sd_$c") / col(s"cnt_$c") / 100.0, 6).as("mean"),
+            round(sqrt((col(s"ssq_$c") - col(s"sd_$c") * col(s"sd_$c") / col(s"cnt_$c")) / (col(s"cnt_$c") - 1)) / 100.0, 6).as("std"),
+            (col(s"mn_$c").cast("double") / 100.0).as("min_v"),
+            round(col(s"p25_$c") / 100.0, 6).as("p25"),
+            round(col(s"p50_$c") / 100.0, 6).as("p50"),
+            round(col(s"p75_$c") / 100.0, 6).as("p75"),
+            (col(s"mx_$c").cast("double") / 100.0).as("max_v"))
+        }
+        one.select(explode(array(rows: _*)).as("r")).select("r.*")
+          .orderBy("col_name")
     }
   }
 
@@ -127,22 +138,29 @@ object RelationalQueries {
     Q("q04_corr",
       corrPairs.map { case (x, y) => corrSql(x, y) }
         .mkString("", "\nUNION ALL\n", "\nORDER BY x_col, y_col")) { (s, dir) =>
+      // ONE pass over lineitem instead of four unioned scans: the
+      // shared per-column moments (sum, sum of squares) and the four
+      // cross-moments all come out of a single aggregate; the corr
+      // expression chain per pair is unchanged → bit-identical.
+      val cols = corrPairs.flatMap(p => Seq(p._1, p._2)).distinct
       val li = Tables(s, dir, "lineitem")
-      val parts = corrPairs.map { case (x, y) =>
-        li.select(CleanOps.cents(col(x)).as("x"), CleanOps.cents(col(y)).as("y"))
-          .agg(
-            count(lit(1)).as("n"),
-            sum((col("x") * col("y")).cast("decimal(38,0)")).cast("double").as("sxy"),
-            sum(col("x").cast("decimal(38,0)")).cast("double").as("sx"),
-            sum(col("y").cast("decimal(38,0)")).cast("double").as("sy"),
-            sum((col("x") * col("x")).cast("decimal(38,0)")).cast("double").as("sxx"),
-            sum((col("y") * col("y")).cast("decimal(38,0)")).cast("double").as("syy"))
-          .select(lit(x).as("x_col"), lit(y).as("y_col"),
-            round((col("n") * col("sxy") - col("sx") * col("sy")) /
-              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
-                sqrt(col("n") * col("syy") - col("sy") * col("sy"))), 6).as("corr_v"))
+        .select(cols.map(c => CleanOps.cents(col(c)).as(c)): _*)
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        cols.flatMap(c => Seq(
+          sum(col(c).cast("decimal(38,0)")).cast("double").as(s"s_$c"),
+          sum((col(c) * col(c)).cast("decimal(38,0)")).cast("double").as(s"ss_$c"))) ++
+        corrPairs.map { case (x, y) =>
+          sum((col(x) * col(y)).cast("decimal(38,0)")).cast("double").as(s"sxy_${x}_$y")
+        }
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      val rows = corrPairs.map { case (x, y) =>
+        struct(lit(x).as("x_col"), lit(y).as("y_col"),
+          round((col("n") * col(s"sxy_${x}_$y") - col(s"s_$x") * col(s"s_$y")) /
+            (sqrt(col("n") * col(s"ss_$x") - col(s"s_$x") * col(s"s_$x")) *
+              sqrt(col("n") * col(s"ss_$y") - col(s"s_$y") * col(s"s_$y"))), 6).as("corr_v"))
       }
-      parts.reduce(_ unionAll _).orderBy("x_col", "y_col")
+      one.select(explode(array(rows: _*)).as("r")).select("r.*")
+        .orderBy("x_col", "y_col")
     }
   }
 
@@ -220,7 +238,7 @@ object RelationalQueries {
       |WHERE word NOT IN ${TextOps.StopWordsSql}
       |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin) {
     (s, dir) =>
-      Tables(s, dir, "documents")
+      Tables.spread(Tables(s, dir, "documents").select("text"))
         .select(explode(TextOps.tokens(col("text"))).as("word"))
         .filter(!col("word").isin(TextOps.StopWords: _*))
         .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -247,16 +265,25 @@ object RelationalQueries {
       val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
       val n = Tables(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
       val r = Tables(s, dir, "region").select("r_regionkey", "r_name")
+      // aggregate BEFORE the shuffle (guide §2.3): lineitem collapses
+      // to one exact-cents revenue row per order ahead of the join, so
+      // the fact-side exchange carries |orders| rows instead of
+      // |lineitem|, and — because each surviving order is now exactly
+      // one row — n_orders is a plain count, dropping countDistinct's
+      // expand + second aggregation pass. Integer cents make the
+      // two-level sum exact, so revenue is bit-identical.
+      val liAgg = li.groupBy("l_orderkey")
+        .agg(sum(col("rev_c").cast("decimal(38,0)")).as("rev_o"))
       // customer is NOT hint-broadcast: unlike nation/region it grows
       // linearly with scale factor, so the choice is left to AQE (at
       // test SFs it still picks a broadcast join; at 100 TB it won't)
-      li.join(o, col("l_orderkey") === col("o_orderkey"))
+      liAgg.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
-          round(sum(col("rev_c").cast("decimal(38,0)")).cast("double") / 100.0, 2).as("revenue"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("rev_o")).cast("double") / 100.0, 2).as("revenue"))
         .orderBy("r_name", "n_name")
   }
 

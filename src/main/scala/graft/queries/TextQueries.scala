@@ -14,7 +14,9 @@ object TextQueries {
   val q15 = Q("q15_tokens",
     s"""${SimilarityOps.termFreqSql(dropStopwords = false)}
       |ORDER BY doc_id, tok""".stripMargin) { (s, dir) =>
-    SimilarityOps.termFreq(Tables(s, dir, "documents"), dropStopwords = false)
+    SimilarityOps.termFreq(
+      Tables.spread(Tables(s, dir, "documents").select("doc_id", "text")),
+      dropStopwords = false)
       .orderBy("doc_id", "tok")
   }
 
@@ -24,7 +26,7 @@ object TextQueries {
     * rows-only check (SparkEntry contract); exactness is covered by
     * `StemmerSpec`/`StemTextSpec`. */
   val q16 = Q.noOracle("q16_search_terms") { (s, dir) =>
-    Tables(s, dir, "documents")
+    Tables.spread(Tables(s, dir, "documents").select("doc_id", "text"))
       .select(col("doc_id"),
         graft.functions.StemText.graft_stem(TextOps.normalize(col("text")))
           .as("search_terms"))
@@ -43,12 +45,17 @@ object TextQueries {
       |FROM tf GROUP BY tok) WHERE vocab_id <= 5000 ORDER BY vocab_id""".stripMargin) {
     (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val tf = SimilarityOps.termFreq(Tables(s, dir, "documents"), dropStopwords = true)
+      // corpus_tf = Σ_doc tf(doc, tok) = plain occurrence count, so the
+      // intermediate (doc_id, tok) aggregation — a full extra exchange —
+      // is dropped: one hash agg on tok (map-side partials) does it
+      val toks = Tables.spread(Tables(s, dir, "documents").select("text"))
+        .select(explode(TextOps.tokens(col("text"))).as("tok"))
+        .filter(!col("tok").isin(TextOps.StopWords: _*))
       // TakeOrderedAndProject(5000) first, THEN the global ranking
       // window runs over at most 5000 rows — never a full-vocab
       // single-partition sort at scale.
-      tf.groupBy(col("tok").as("term"))
-        .agg(sum(col("tf")).as("corpus_tf"))
+      toks.groupBy(col("tok").as("term"))
+        .agg(count(lit(1)).as("corpus_tf"))
         .orderBy(desc("corpus_tf"), asc("term"))
         .limit(5000)
         .withColumn("vocab_id",
@@ -66,11 +73,21 @@ object TextQueries {
       |SELECT i, j, rn, round(cos, 6) AS cos FROM (
       |SELECT i, j, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rn FROM sims)
       |WHERE rn <= 10 ORDER BY i, rn""".stripMargin) { (s, dir) =>
-    // tf feeds the inverted-index join (both sides) and the norms —
-    // persist so tokenize+count runs once
-    val tf = SimilarityOps.termFreq(Tables(s, dir, "documents"), dropStopwords = true)
+    val docs = Tables(s, dir, "documents")
+    // corpus tf feeds the inverted-index join probe side and the
+    // j-norms — persist so tokenize+count runs once; spread
+    // parallelizes the tokenize map stage (single-split scan)
+    val tf = SimilarityOps.termFreq(
+      Tables.spread(docs.select("doc_id", "text")), dropStopwords = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    SimilarityOps.cosineTopK(tf, col("doc_id") < 100, 10)
+    // the broadcast QUERY side is rebuilt from a pruned scan
+    // (PushedFilters: doc_id < 100) instead of filtering the full tf:
+    // the broadcast no longer waits on — or re-tokenizes — the whole
+    // corpus, and at scale reads ~0 of it
+    val tfQ = SimilarityOps.termFreq(
+      docs.select("doc_id", "text").filter(col("doc_id") < 100),
+      dropStopwords = true)
+    SimilarityOps.cosineTopKFrom(tfQ, tf, 10)
       .orderBy("i", "rn")
   }
 
@@ -89,9 +106,17 @@ object TextQueries {
       val docs = Tables(s, dir, "documents")
       val qid = docs.filter(instr(lower(col("text")), "spark") > 0)
         .agg(min(col("doc_id")).as("qid"))
-      val tf = SimilarityOps.termFreq(docs, dropStopwords = true)
+      val tf = SimilarityOps.termFreq(
+        Tables.spread(docs.select("doc_id", "text")), dropStopwords = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val tfQ = tf.join(broadcast(qid), col("doc_id") === col("qid"), "left_semi")
+      // query side: tokenize ONLY the one semi-joined document (a
+      // broadcast semi-join against the scan) instead of filtering the
+      // fully tokenized corpus — the broadcast build no longer waits on
+      // the full tf
+      val tfQ = SimilarityOps.termFreq(
+        docs.select("doc_id", "text")
+          .join(broadcast(qid), col("doc_id") === col("qid"), "left_semi"),
+        dropStopwords = true)
       SimilarityOps.cosineTopKFrom(tfQ, tf, 5)
         .select(col("rn"), col("j").as("doc_id"), col("cos"))
         .join(docs, Seq("doc_id"))

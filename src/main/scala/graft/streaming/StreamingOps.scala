@@ -77,15 +77,31 @@ object StreamingOps {
 
   /** Custom streaming state via KeyValueGroupedDataset: running
     * per-user event count (the minimal mapGroupsWithState shape a
-    * user extends for bespoke state machines). */
-  def runningUserCounts(events: Dataset[Event]): Dataset[(Long, Long)] = {
+    * user extends for bespoke state machines). Per-user state expires
+    * after `stateTtlMs` of processing-time inactivity (default 30 min)
+    * so an unbounded user population cannot grow state forever; a user
+    * returning after expiry restarts from zero. `stateTtlMs = 0`
+    * disables expiry (exact mode for bounded replays — see
+    * [[graft.streaming.StreamingDedup.candidates]] on why
+    * drain-and-assert harnesses need NoTimeout). */
+  def runningUserCounts(events: Dataset[Event],
+      stateTtlMs: Long = 30L * 60 * 1000): Dataset[(Long, Long)] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[Long, (Long, Long)](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[Long, (Long, Long)](timeoutConf) {
         (uid, rows, state) =>
-          val n = state.getOption.getOrElse(0L) + rows.size
-          state.update(n)
-          (uid, n)
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(0L)
+            state.remove()
+            (uid, last) // final emission for the expiring key
+          } else {
+            val n = state.getOption.getOrElse(0L) + rows.size
+            state.update(n)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            (uid, n)
+          }
       }
   }
 }

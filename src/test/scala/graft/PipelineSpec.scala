@@ -122,6 +122,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(direct == viaDisk)
   }
 
+  test("S2: multi-file load assigns deterministic dense row_ids, no global window") {
+    // split the fixture into 3 single-row-group CSV parts; row_ids must
+    // stay a dense 0..n-1 permutation in (file, offset) order on both
+    // loads, and the plan must not contain the old single-task
+    // no-partition window
+    val lines = scala.io.Source.fromFile(fixture, "UTF-8").getLines().toVector
+    val (header, body) = (lines.head, lines.tail)
+    val dir = java.nio.file.Files.createTempDirectory("graft_multicsv")
+    body.grouped((body.size + 2) / 3).zipWithIndex.foreach { case (part, i) =>
+      java.nio.file.Files.write(dir.resolve(f"part-$i%03d.csv"),
+        (header +: part).mkString("\n").getBytes("UTF-8"))
+    }
+    val a = P.loadCsv(spark, dir.toString)
+    val b = P.loadCsv(spark, dir.toString)
+    val n = body.count(_.nonEmpty)
+    val idsA = a.select("row_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(idsA == (0L until n).toSeq, "dense 0..n-1 ids")
+    val keyA = a.select("name", "row_id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keyB = b.select("name", "row_id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(keyA == keyB, "row_id assignment deterministic across loads")
+    assert(!a.queryExecution.executedPlan.toString.contains("Window"),
+      "no global window at ingest")
+  }
+
   test("E1: top-10 sorts by count desc with nulls last") {
     val counts = P.top10(base).select("no_of_ratings_cleaned")
       .collect().map(r => if (r.isNullAt(0)) -1.0 else r.getDouble(0))

@@ -37,7 +37,9 @@ class StreamingDedupSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Doc]
-    val q = StreamingDedup.candidates(src.toDS())
+    // stateTtlMs = 0 (NoTimeout): processAllAvailable never terminates
+    // once a processing-time timeout keeps requesting no-data batches
+    val q = StreamingDedup.candidates(src.toDS(), stateTtlMs = 0)
       .writeStream.format("memory").queryName("neardup_cand")
       .outputMode("append").start()
     src.addData(Doc(1, a), Doc(3, other))
@@ -57,6 +59,49 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(after == 1)
   }
 
+  test("bucket state expires after the processing-time TTL") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // With a processing-time timeout the engine keeps scheduling
+    // no-data batches, so neither processAllAvailable nor AvailableNow
+    // ever drains (see the operator scaladoc). Assert by POLLING the
+    // committed state through the statestore data source instead: the
+    // bucket id-sets must appear, then SHRINK to zero once the TTL
+    // passes — with no new input — then repopulate for late arrivals.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ttl_ckpt").toString
+    val src = MemoryStream[Doc]
+    // 5 s TTL: long enough that the statestore-read poll jobs (~0.5 s
+    // each) between two within-TTL arrivals cannot expire the bucket,
+    // short enough that the expiry phase stays well inside the await
+    val q = StreamingDedup.candidates(src.toDS(), stateTtlMs = 5000)
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+    def stateKeys(): Long =
+      try spark.read.format("statestore").load(ckpt).count()
+      catch { case _: Throwable => -1L } // no snapshot committed yet
+    def awaitTrue(what: String)(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(cond, s"timed out waiting for: $what")
+    }
+    try {
+      src.addData(Doc(1, a))
+      awaitTrue("doc 1's four band buckets in state")(stateKeys() == 4)
+      // TTL fires on the engine's own no-data batches — no new input;
+      // ~5 s of wall clock passes inside this await
+      awaitTrue("state shrinks to zero after the TTL")(stateKeys() == 0)
+      src.addData(Doc(2, aNear))
+      awaitTrue("doc 2's fresh buckets in state")(stateKeys() == 4)
+      assert(spark.table("neardup_ttl").count() == 0,
+        "no candidate pair: doc 1 was forgotten before doc 2 arrived")
+      // within-TTL liveness: doc 1 re-arrives while doc 2 is live
+      src.addData(Doc(1, a))
+      awaitTrue("live buckets emit the candidate pair")(
+        spark.table("neardup_ttl").filter("i = 1 AND j = 2").count() > 0)
+    } finally q.stop()
+  }
+
   test("streaming candidates agree with the batch LSH candidates") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -66,7 +111,7 @@ class StreamingDedupSpec extends AnyFunSuite {
       DedupOps.shingles(corpus.map(d => (d.doc_id, d.text)).toDF("doc_id", "text"))))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val src = MemoryStream[Doc]
-    val q = StreamingDedup.candidates(src.toDS())
+    val q = StreamingDedup.candidates(src.toDS(), stateTtlMs = 0)
       .writeStream.format("memory").queryName("neardup_all")
       .outputMode("append").start()
     corpus.foreach { d => src.addData(d); q.processAllAvailable() }

@@ -77,7 +77,9 @@ class StreamingSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[Event]
-    val q = StreamingOps.runningUserCounts(src.toDS())
+    // stateTtlMs = 0 (NoTimeout): drain-and-assert harnesses hang once
+    // a processing-time timeout keeps requesting no-data batches
+    val q = StreamingOps.runningUserCounts(src.toDS(), stateTtlMs = 0)
       .writeStream.format("memory").queryName("counts").outputMode("update")
       .start()
     src.addData(Event(1, ts(0), 1, "c", 0), Event(2, ts(1), 1, "c", 0))
