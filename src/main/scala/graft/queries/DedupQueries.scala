@@ -90,8 +90,13 @@ object DedupQueries {
       .unionByName(cand.select(col("j").as("doc_id"))).distinct()
     // verification joins on 60-bit md5-prefix longs, not shingle
     // strings — identical equality classes (see DedupOps.shingleKeys),
-    // a fraction of the shuffle bytes
-    val shk = DedupOps.shingleKeys(docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+    // a fraction of the shuffle bytes; the doc_id repartition feeds the
+    // (doc_id, sk) distinct AND the per-doc counts aggregation off one
+    // exchange
+    val shk = DedupOps.shingleKeysRaw(
+        docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
+      .repartition(col("doc_id"))
+      .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DedupOps.jaccard(cand, shk, key = "sk")
       .filter(col("jaccard") >= 0.5)

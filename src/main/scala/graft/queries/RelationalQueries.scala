@@ -93,14 +93,16 @@ object RelationalQueries {
         // single-split scan they would all build in one task
         val li = Tables.spread(Tables(s, dir, "lineitem")
           .select(statCols.map(c => CleanOps.cents(col(c)).as(c)): _*))
+        // percentile(c, array(...)): ONE counts-map buffer and one
+        // sorted evaluation per column serves all three quartiles —
+        // identical doubles to three scalar percentile calls, a third
+        // of the aggregation state/merge/sort
         val aggs = statCols.flatMap { c => Seq(
           count(col(c)).as(s"cnt_$c"),
           sum(col(c).cast("decimal(38,0)")).cast("double").as(s"sd_$c"),
           sum((col(c) * col(c)).cast("decimal(38,0)")).cast("double").as(s"ssq_$c"),
           min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
-          expr(s"percentile($c, 0.25)").as(s"p25_$c"),
-          expr(s"percentile($c, 0.5)").as(s"p50_$c"),
-          expr(s"percentile($c, 0.75)").as(s"p75_$c"))
+          expr(s"percentile($c, array(0.25, 0.5, 0.75))").as(s"pq_$c"))
         }
         val one = li.agg(aggs.head, aggs.tail: _*)
         val rows = statCols.map { c =>
@@ -109,9 +111,9 @@ object RelationalQueries {
             round(col(s"sd_$c") / col(s"cnt_$c") / 100.0, 6).as("mean"),
             round(sqrt((col(s"ssq_$c") - col(s"sd_$c") * col(s"sd_$c") / col(s"cnt_$c")) / (col(s"cnt_$c") - 1)) / 100.0, 6).as("std"),
             (col(s"mn_$c").cast("double") / 100.0).as("min_v"),
-            round(col(s"p25_$c") / 100.0, 6).as("p25"),
-            round(col(s"p50_$c") / 100.0, 6).as("p50"),
-            round(col(s"p75_$c") / 100.0, 6).as("p75"),
+            round(col(s"pq_$c").getItem(0) / 100.0, 6).as("p25"),
+            round(col(s"pq_$c").getItem(1) / 100.0, 6).as("p50"),
+            round(col(s"pq_$c").getItem(2) / 100.0, 6).as("p75"),
             (col(s"mx_$c").cast("double") / 100.0).as("max_v"))
         }
         one.select(explode(array(rows: _*)).as("r")).select("r.*")

@@ -83,10 +83,12 @@ object TextQueries {
     // the broadcast QUERY side is rebuilt from a pruned scan
     // (PushedFilters: doc_id < 100) instead of filtering the full tf:
     // the broadcast no longer waits on — or re-tokenizes — the whole
-    // corpus, and at scale reads ~0 of it
+    // corpus, and at scale reads ~0 of it; persisted because it feeds
+    // both the inverted-index probe side and the i-norms
     val tfQ = SimilarityOps.termFreq(
       docs.select("doc_id", "text").filter(col("doc_id") < 100),
       dropStopwords = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     SimilarityOps.cosineTopKFrom(tfQ, tf, 10)
       .orderBy("i", "rn")
   }
@@ -117,8 +119,13 @@ object TextQueries {
         docs.select("doc_id", "text")
           .join(broadcast(qid), col("doc_id") === col("qid"), "left_semi"),
         dropStopwords = true)
-      SimilarityOps.cosineTopKFrom(tfQ, tf, 5)
-        .select(col("rn"), col("j").as("doc_id"), col("cos"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the ≤5-row neighbor set is explicitly broadcast into the
+      // display join so the documents side streams with no exchange
+      // (the planner's size estimate for a window-over-joins subtree is
+      // far too large to pick this on its own)
+      broadcast(SimilarityOps.cosineTopKFrom(tfQ, tf, 5)
+        .select(col("rn"), col("j").as("doc_id"), col("cos")))
         .join(docs, Seq("doc_id"))
         .select(col("rn"), col("doc_id"), col("cos"), col("lang"),
           col("source"), col("n_chars"),
