@@ -78,6 +78,11 @@ object Bench {
       // failed queries report -1.0, not their time-to-crash
       val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       spark.catalog.clearCache()
+      // GC between runs: without this, a query following a
+      // large-aggregation-state query (q03's percentile maps) pays its
+      // predecessor's collection inside ITS timed window — measured as
+      // a 20x phantom slowdown of q04 at low core counts
+      System.gc()
       dt
     }
     // deterministic static-plan fingerprint: expression ids and plan
