@@ -29,9 +29,10 @@ object AnalysisQueries {
       // explode + codegen'd conditional sums (the array-fold form was
       // tried and reverted: higher-order `filter` is CodegenFallback —
       // interpreted + boxed per token — and measured ~2x slower than
-      // this fully codegen'd explode + hash aggregate); spread
-      // parallelizes the tokenize stage
-      val toks = Tables.spread(Tables(s, dir, "documents").select("doc_id", "text"))
+      // this fully codegen'd explode + hash aggregate; a spread here
+      // was also tried and reverted — tokenize alone is cheaper than
+      // the exchange)
+      val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       val scoreCols = TextAnalysis.Markers.map { case (l, words) =>
         sum(when(col("tok").isin(words: _*), 1).otherwise(0)).cast("long").as(s"score_$l")
@@ -70,9 +71,10 @@ object AnalysisQueries {
     (s, dir) =>
       // explode + codegen'd aggregation (array-fold form tried and
       // reverted — HOF `filter`/`aggregate` are CodegenFallback and
-      // measured ~2x slower); spread parallelizes the tokenize stage
+      // measured ~2x slower; likewise a spread — tokenize alone is
+      // cheaper than the exchange)
       val docs = Tables(s, dir, "documents")
-      val tokAgg = Tables.spread(docs.select("doc_id", "text"))
+      val tokAgg = docs
         .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),

@@ -106,9 +106,10 @@ object EventQueries {
       |FROM (SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket FROM events)
       |GROUP BY k_bucket ORDER BY k_bucket""".stripMargin) { (s, dir) =>
     // events() (not Tables): the raw table is nanosecond parquet and
-    // needs the ts handling even though this query ignores ts; spread
-    // parallelizes the JSON parse (single-split scan)
-    Tables.spread(events(s, dir).select("event_id", "props"))
+    // needs the ts handling even though this query ignores ts (a
+    // spread was tried and reverted — the JSON parse of this table is
+    // cheaper than the exchange)
+    events(s, dir)
       .select(col("event_id"),
         (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
       .groupBy("k_bucket")

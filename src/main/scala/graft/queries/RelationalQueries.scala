@@ -240,7 +240,7 @@ object RelationalQueries {
       |WHERE word NOT IN ${TextOps.StopWordsSql}
       |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin) {
     (s, dir) =>
-      Tables.spread(Tables(s, dir, "documents").select("text"))
+      Tables(s, dir, "documents")
         .select(explode(TextOps.tokens(col("text"))).as("word"))
         .filter(!col("word").isin(TextOps.StopWords: _*))
         .groupBy("word").agg(count(lit(1)).as("cnt"))

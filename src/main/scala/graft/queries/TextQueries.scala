@@ -14,9 +14,7 @@ object TextQueries {
   val q15 = Q("q15_tokens",
     s"""${SimilarityOps.termFreqSql(dropStopwords = false)}
       |ORDER BY doc_id, tok""".stripMargin) { (s, dir) =>
-    SimilarityOps.termFreq(
-      Tables.spread(Tables(s, dir, "documents").select("doc_id", "text")),
-      dropStopwords = false)
+    SimilarityOps.termFreq(Tables(s, dir, "documents"), dropStopwords = false)
       .orderBy("doc_id", "tok")
   }
 
