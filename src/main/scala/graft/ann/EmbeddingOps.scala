@@ -47,47 +47,55 @@ object EmbeddingOps {
         round(col("x").cast("double") * QuantScale).cast("long").as("q"))
 
   /** Array-form quantized embedding: `(vec_id, qv: array<long>, n2)`
-    * with `qv[d] = round(x_d * 1e6)` (identical per-element expression
+    * with `qv[d] = round(x_d * 1e6)` (identical per-element rounding
     * to [[quantized]]) and `n2 = Σ qv[d]²` the exact squared norm.
     * The vectors are dense (fixed [[Dims]]), so every long-form
     * groupBy/join on `d` collapses to a row-local array fold: dot
     * products and norms become zero-shuffle map work instead of a
-    * 64×-row explode + hash aggregation. */
+    * 64×-row explode + hash aggregation. r22: the per-element
+    * `transform(round(...))` HOF (CodegenFallback) became the native
+    * codegen expression [[graft.functions.VecExprs.QuantizeVec]] —
+    * same HALF_UP rounding, proven elementwise in OpsSpec. */
   def quantizedVec(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"),
-      transform(col("embedding"),
-        x => round(x.cast("double") * QuantScale).cast("long")).as("qv"))
+      graft.functions.VecExprs.quantize_vec(col("embedding"), QuantScale)
+        .as("qv"))
       .withColumn("n2", dotQ(col("qv"), col("qv")))
 
   /** Exact integer dot product of two long arrays (row-local fold —
     * same summands, in index order, as the long-form join on `d`).
     *
-    * Measured note (r21): this is the HOF form on purpose. A spelled-
-    * out 64-term `getItem` product sum was tried to get whole-stage
-    * codegen and was 2-4x SLOWER: 64-term trees × several dots per row
-    * blow the 64 KB codegen method limit, so the whole stage falls
-    * back to interpreted evaluation of giant expression trees. The HOF
-    * fold is interpreted too but allocation-light and O(Dims) flat. */
+    * r21 tried two forms: the spelled-out 64-term `getItem` sum blew
+    * the 64 KB codegen method limit (whole stage fell back to
+    * interpreted giant trees, 2-4x slower) and the
+    * `aggregate(zip_with(...))` HOF fold was allocation-light but
+    * CodegenFallback — interpreted per pair, breaking the surrounding
+    * WholeStageCodegen span. r22: a native codegen expression
+    * ([[graft.functions.VecExprs.DotQ]]) whose generated code calls
+    * one static flat-loop helper per row — identical null/length
+    * semantics to the HOF fold (OpsSpec proves both). */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    graft.functions.VecExprs.dot_q(a, b)
 
-  /** Sign-LSH bucket keys from array-form vectors — delegates to the
-    * long-form [[buckets]] pipeline over a `posexplode` of `qv`
-    * (identical `(vec_id, d, q)` rows, identical buckets).
+  /** Sign-LSH bucket keys from array-form vectors: one native codegen
+    * expression per row ([[graft.functions.VecExprs.BucketStrs]])
+    * computing all `4 * planesPerTable` exact integer projections in a
+    * flat loop — zero joins, zero aggregations, zero exchanges.
     *
-    * Measured note (r21): computing the 16-32 plane projections as
-    * per-row array folds (HOF) or literal-weight expression sums was
-    * tried and reverted — both leave codegen (CodegenFallback / 64 KB
-    * method blowup) and lost 2-8x to this fully codegen'd
-    * join + two-level hash-aggregate pipeline. Callers persist the
-    * (tiny) result so both sides of the candidate self-join share one
-    * computation. */
-  def bucketsVec(spark: SparkSession, vecs: DataFrame,
+    * History: r21 computed this via the long-form [[buckets]]
+    * join + two-level hash-aggregate pipeline (64× posexplode + plane
+    * join + two shuffles) after HOF folds and literal-weight expression
+    * trees both left codegen (CodegenFallback / 64 KB method blowup).
+    * The r22 native expression keeps codegen AND drops the pipeline:
+    * projections are integer sums (order-free), so buckets are
+    * bit-identical to the relational form (OpsSpec proves it row-wise,
+    * the q26/q41 oracle hashes corpus-wide). */
+  def bucketsVec(vecs: DataFrame,
       planesPerTable: Int = PlanesPerTable): DataFrame =
-    buckets(spark,
-      vecs.select(col("vec_id"), posexplode(col("qv")).as(Seq("d", "q")))
-        .select(col("vec_id"), col("d").cast("long").as("d"), col("q")),
-      planesPerTable)
+    vecs.select(col("vec_id"),
+      posexplode(graft.functions.VecExprs.bucket_strs(col("qv"), planesPerTable))
+        .as(Seq("tbl", "bucket")))
+      .select(col("vec_id"), col("tbl").cast("long").as("tbl"), col("bucket"))
 
   /** Exact cosine top-k from array-form vectors `(vec_id, qv, n2)` for
     * candidate pairs `(i, j)`: same integer dot / norms / IEEE chain /

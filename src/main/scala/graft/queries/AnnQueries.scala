@@ -51,7 +51,7 @@ object AnnQueries {
     // sides of the candidate self-join share one computation; the
     // exact re-rank runs on array-form rows (one fold per pair)
     val vecs = EmbeddingOps.quantizedVec(Tables(s, dir, "embeddings"))
-    val buckets = EmbeddingOps.bucketsVec(s, vecs)
+    val buckets = EmbeddingOps.bucketsVec(vecs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.filter(col("vec_id") < 50)
       .select(col("vec_id").as("i"), col("tbl"), col("bucket"))
@@ -100,7 +100,7 @@ object AnnQueries {
     // 8 planes per table (vs 4 for ANN search): near-identical pairs
     // survive the longer bucket, random collisions drop ~16x; persist:
     // both candidate sides read it
-    val buckets = EmbeddingOps.bucketsVec(s, vecs, planesPerTable = 8)
+    val buckets = EmbeddingOps.bucketsVec(vecs, planesPerTable = 8)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col("vec_id").as("i"), col("tbl"), col("bucket"))
     val b = buckets.select(col("vec_id").as("j"), col("tbl"), col("bucket"))

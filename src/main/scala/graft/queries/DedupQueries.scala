@@ -110,8 +110,12 @@ object DedupQueries {
       |ORDER BY doc_id, b""".stripMargin) { (s, dir) =>
     // token OCCURRENCES, not the tf relation: Σ tf·(±1) ≡ Σ_occ (±1)
     // exactly, so the (doc, tok) pre-aggregation shuffle is dropped
-    // (see DedupOps.simhashBits); spread parallelizes the digest work
-    val toks = Tables.spread(Tables(s, dir, "documents").select("doc_id", "text"))
+    // (see DedupOps.simhashBits). r22: the spread is KEYED by doc_id —
+    // same bytes as the r21 round-robin spread, but the exchange now
+    // also satisfies the per-doc vote aggregation's clustering, so the
+    // 64-sum hash aggregate runs with no exchange of its own
+    val toks = Tables.spreadBy(
+        Tables(s, dir, "documents").select("doc_id", "text"), col("doc_id"))
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
     DedupOps.simhashBits(toks).orderBy("doc_id", "b")
   }

@@ -14,7 +14,14 @@ object TextQueries {
   val q15 = Q("q15_tokens",
     s"""${SimilarityOps.termFreqSql(dropStopwords = false)}
       |ORDER BY doc_id, tok""".stripMargin) { (s, dir) =>
-    SimilarityOps.termFreq(Tables(s, dir, "documents"), dropStopwords = false)
+    // r22: doc_id-keyed spread — unlike the round-robin spread (tried
+    // and reverted in r21 as a pure extra exchange), this one REPLACES
+    // the (doc_id, tok) aggregation's own exchange (guide §2.4), so
+    // tokenize runs on all cores at the same exchange count
+    SimilarityOps.termFreq(
+      Tables.spreadBy(Tables(s, dir, "documents").select("doc_id", "text"),
+        col("doc_id")),
+      dropStopwords = false)
       .orderBy("doc_id", "tok")
   }
 
@@ -73,18 +80,26 @@ object TextQueries {
       |WHERE rn <= 10 ORDER BY i, rn""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir, "documents")
     // corpus tf feeds the inverted-index join probe side and the
-    // j-norms — persist so tokenize+count runs once; spread
-    // parallelizes the tokenize map stage (single-split scan)
+    // j-norms — persist so tokenize+count runs once. r22: the spread
+    // is KEYED by doc_id (same shuffled bytes as the round-robin
+    // spread) so that ONE exchange serves the tokenize
+    // parallelization, the (doc_id, tok) tf aggregation AND the
+    // per-doc j-norms aggregation — both aggregations now run with no
+    // exchange of their own (guide §2.4 exchange sharing)
     val tf = SimilarityOps.termFreq(
-      Tables.spread(docs.select("doc_id", "text")), dropStopwords = true)
+      Tables.spreadBy(docs.select("doc_id", "text"), col("doc_id")),
+      dropStopwords = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the broadcast QUERY side is rebuilt from a pruned scan
     // (PushedFilters: doc_id < 100) instead of filtering the full tf:
     // the broadcast no longer waits on — or re-tokenizes — the whole
     // corpus, and at scale reads ~0 of it; persisted because it feeds
-    // both the inverted-index probe side and the i-norms
+    // both the inverted-index probe side and the i-norms (which also
+    // share the doc_id-keyed exchange)
     val tfQ = SimilarityOps.termFreq(
-      docs.select("doc_id", "text").filter(col("doc_id") < 100),
+      Tables.spreadBy(
+        docs.select("doc_id", "text").filter(col("doc_id") < 100),
+        col("doc_id")),
       dropStopwords = true)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     SimilarityOps.cosineTopKFrom(tfQ, tf, 10)
@@ -106,8 +121,11 @@ object TextQueries {
       val docs = Tables(s, dir, "documents")
       val qid = docs.filter(instr(lower(col("text")), "spark") > 0)
         .agg(min(col("doc_id")).as("qid"))
+      // doc_id-keyed spread: one exchange serves tokenize spreading,
+      // the tf aggregation and the j-norms aggregation (as in q18)
       val tf = SimilarityOps.termFreq(
-        Tables.spread(docs.select("doc_id", "text")), dropStopwords = true)
+        Tables.spreadBy(docs.select("doc_id", "text"), col("doc_id")),
+        dropStopwords = true)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // query side: tokenize ONLY the one semi-joined document (a
       // broadcast semi-join against the scan) instead of filtering the

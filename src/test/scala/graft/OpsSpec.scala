@@ -81,6 +81,63 @@ class OpsSpec extends AnyFunSuite {
     assert(EmbeddingOps.planeWeight(3, 7) == EmbeddingOps.planeWeight(3, 7))
   }
 
+  test("dot_q native expression matches the HOF fold exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, 2L, 3L), Array(4L, 5L, 6L)),          // 4+10+18 = 32
+      (Array(-7L, 0L, 9L), Array(3L, 100L, -2L)),      // -21+0-18 = -39
+      (Array.empty[Long], Array.empty[Long]))          // empty fold = 0
+      .toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0L), (acc, v) => acc + v)
+    val rows = df.select(
+      graft.functions.VecExprs.dot_q(col("a"), col("b")).as("native"),
+      hof.as("hof")).collect()
+    rows.foreach(r => assert(r.get(0) == r.get(1)))
+    // length mismatch: zip_with pads with null -> null, like the HOF
+    val mism = Seq((Array(1L, 2L), Array(3L))).toDF("a", "b")
+    val m = mism.select(
+      graft.functions.VecExprs.dot_q(col("a"), col("b")).as("native"),
+      hof.as("hof")).collect().head
+    assert(m.isNullAt(0) && m.isNullAt(1))
+  }
+
+  test("quantize_vec matches transform(round(cast)) elementwise") {
+    import spark.implicits._
+    val vals = Seq(
+      Array(0.1f, -0.37f, 1.0f, -1.0f, 0.0000025f, -0.0000025f, 0.9999995f),
+      Array.tabulate(64)(i => math.sin(i * 0.7 - 3).toFloat),
+      Array.empty[Float]).toDF("embedding")
+    val old = transform(col("embedding"),
+      x => round(x.cast("double") * EmbeddingOps.QuantScale).cast("long"))
+    val rows = vals.select(
+      graft.functions.VecExprs.quantize_vec(
+        col("embedding"), EmbeddingOps.QuantScale).as("native"),
+      old.as("hof")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+  }
+
+  test("bucket_strs matches the long-form buckets pipeline (ppt 4 and 8)") {
+    import spark.implicits._
+    val emb = Seq.tabulate(40)(v =>
+      (v.toLong, Array.tabulate(64)(i => math.sin(v * 17 + i * 0.9).toFloat)))
+      .toDF("vec_id", "embedding")
+    val vecs = EmbeddingOps.quantizedVec(emb)
+    for (ppt <- Seq(4, 8)) {
+      val native = EmbeddingOps.bucketsVec(vecs, ppt).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val longForm = EmbeddingOps.buckets(spark,
+        vecs.select(col("vec_id"), posexplode(col("qv")).as(Seq("d", "q")))
+          .select(col("vec_id"), col("d").cast("long").as("d"), col("q")),
+        ppt).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(native == longForm, s"ppt=$ppt")
+      assert(native.size == 40 * 4)
+    }
+  }
+
   test("decodeStub is deterministic; decodeAll keeps every row") {
     val media = docs(1L -> "hello", 2L -> "a longer payload here", 3L -> "")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
