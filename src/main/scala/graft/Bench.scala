@@ -41,6 +41,13 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // guide §9/§3 production default: allow shuffled hash join where
+      // its size conditions hold. At every bench SF this is a provable
+      // no-op (zero SortMergeJoins in any plan — all joins broadcast;
+      // plan hashes identical with/without, verified r22); past
+      // broadcast scale it lets the co-partitioned persisted self-joins
+      // (q22 band-sig, q24 sk) hash-join per partition with no sorts.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -85,26 +92,95 @@ object Bench {
       System.gc()
       dt
     }
+    def md5hex(s: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // r21 normalization, kept VERBATIM so untouched queries' hashes
+    // stay comparable round-over-round
+    def normalizeV1(plan: String): String =
+      plan.replaceAll("#\\d+", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
+    // r22 (plan_hash_v2): ALSO strip the run-varying tokens that
+    // flipped q35/q40 between byte-identical runs — JVM lambda
+    // identifiers (ClassName$$Lambda$123/0x00007f...@4ac1b2c3) and
+    // object identity hashes (TopKByScore@713d2fe8) — plus the sfDir
+    // path prefix (scan Location), so the v2 hash is identical across
+    // runs AND across hosts with different data directories
+    def normalizeV2(plan: String): String =
+      normalizeV1(plan)
+        .replace(sfDir, "<SF_DIR>")
+        .replaceAll("\\$\\$?Lambda[$/][^,\\s)\\]]*", "\\$\\$Lambda\\$x")
+        .replaceAll("@[0-9a-f]{6,16}\\b", "@x")
+    // per-query shuffle-byte observability (r22): a SparkListener sums
+    // task-level shuffle-write bytes/records for the jobs of each
+    // query's meta-pass noop execution (matched via the thread-local
+    // job description) — turning "fewer/smaller exchanges at scale"
+    // claims into measured bytes, including shuffles inside cached
+    // relations that plan-walking misses under AQE/InMemoryRelation
+    // wrappers. Additions-only: timed runs and stdout are untouched.
+    val stageToQuery = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val shuffleAgg =
+      new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          if (desc.startsWith("plan-meta: ")) {
+            val q = desc.stripPrefix("plan-meta: ")
+            js.stageIds.foreach(sid => stageToQuery.put(sid, q))
+          }
+        }
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val q = stageToQuery.get(te.stageId)
+          if (q != null && te.taskMetrics != null) {
+            val acc = shuffleAgg.computeIfAbsent(q, _ => Array(0L, 0L))
+            val sw = te.taskMetrics.shuffleWriteMetrics
+            acc.synchronized {
+              acc(0) += sw.bytesWritten
+              acc(1) += sw.recordsWritten
+            }
+          }
+        }
+      })
+    def shuffleBytes(name: String): Option[(Long, Long)] = {
+      // listener bus is async — give the last task-end events a moment
+      Thread.sleep(300)
+      Option(shuffleAgg.get(name)).map(a => (a(0), a(1)))
+    }
     // deterministic static-plan fingerprint: expression ids and plan
     // ids normalized out, so identical code → identical hash across
-    // runs/VMs while any real plan change flips it
-    def planMeta(fn: (SparkSession, String) => DataFrame): Option[(String, Int, Int)] =
+    // runs/VMs while any real plan change flips it. clearCache runs in
+    // a finally so a failing query cannot leak cache entries into the
+    // next query's planning.
+    def planMeta(name: String, fn: (SparkSession, String) => DataFrame)
+        : Option[(String, String, Int, Int, Option[(Long, Long)])] =
       try {
-        val qe = fn(spark, sfDir).queryExecution
+        val df = fn(spark, sfDir)
+        val qe = df.queryExecution
         val plan = qe.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-          .replaceAll("#\\d+", "#x").replaceAll("plan_id=\\d+", "plan_id=x")
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hash = md.digest(plan.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
+        val hash = md5hex(normalizeV1(plan))
+        val hashV2 = md5hex(normalizeV2(plan))
         // counts from the one-line-per-operator tree (the formatted
         // string lists operators twice: tree + details)
         val tree = qe.executedPlan.toString
         val bcasts = "BroadcastExchange".r.findAllMatchIn(tree).length
         val shuffles = "\\bExchange\\b".r.findAllMatchIn(tree).length
-        spark.catalog.clearCache()
-        Some((hash, shuffles, bcasts))
+        // one extra noop execution to measure shuffle bytes (outside
+        // the timed runs; the warmup made codegen costs already sunk)
+        val sb = try {
+          runOnce(fn(spark, sfDir))
+          shuffleBytes(name)
+        } catch { case _: Throwable => None }
+        Some((hash, hashV2, shuffles, bcasts, sb))
       } catch { case _: Throwable => None }
+      finally {
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+      }
     val results = queries.map { case (name, fn) =>
       val first = timedRun(name, fn)
       // a failed SECOND run must not discard a valid first measurement
@@ -116,10 +192,15 @@ object Bench {
     }
     val metaPath = sys.env.getOrElse("SPARK_GRAFT_PLAN_META",
       "target/bench_plan_meta.json")
-    val metas = queries.map { case (name, fn) => name -> planMeta(fn) }
+    val metas = queries.map { case (name, fn) =>
+      spark.sparkContext.setJobDescription(s"plan-meta: $name")
+      name -> planMeta(name, fn)
+    }
     val metaJson = metas.map {
-      case (n, Some((h, ex, bc))) =>
-        s""""$n":{"plan_hash":"$h","exchanges":$ex,"broadcasts":$bc}"""
+      case (n, Some((h, h2, ex, bc, sb))) =>
+        val sbJson = sb.map { case (b, r) =>
+          s""","shuffle_bytes":$b,"shuffle_records":$r""" }.getOrElse("")
+        s""""$n":{"plan_hash":"$h","plan_hash_v2":"$h2","exchanges":$ex,"broadcasts":$bc$sbJson}"""
       case (n, None) => s""""$n":null"""
     }.mkString("{", ",", "}")
     try {
@@ -128,8 +209,11 @@ object Bench {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(metaPath), metaJson)
     } catch { case _: Throwable => () }
     metas.foreach {
-      case (n, Some((h, ex, bc))) =>
-        System.err.println(s"[plan] $n hash=$h exchanges=$ex broadcasts=$bc")
+      case (n, Some((h, h2, ex, bc, sb))) =>
+        val sbTxt = sb.map { case (b, r) => s" shuffleBytes=$b records=$r" }
+          .getOrElse("")
+        System.err.println(
+          s"[plan] $n hash=$h v2=$h2 exchanges=$ex broadcasts=$bc$sbTxt")
       case (n, None) => System.err.println(s"[plan] $n hash=unavailable")
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -11,6 +11,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // guide §9/§3 production default: allow shuffled hash join where
+      // its size conditions hold. At every bench SF this is a provable
+      // no-op (zero SortMergeJoins in any plan — all joins broadcast;
+      // plan hashes identical with/without, verified r22); past
+      // broadcast scale it lets the co-partitioned persisted self-joins
+      // (q22 band-sig, q24 sk) hash-join per partition with no sorts.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -65,12 +65,16 @@ object DedupOps {
 
   /** As [[shingleKeys]] but WITHOUT the distinct — callers that
     * re-partition by `sk` first (q24) get the distinct, and any
-    * downstream sk-keyed join, for free on that one exchange. */
+    * downstream sk-keyed join, for free on that one exchange.
+    * r22: the key derivation is the native
+    * [[graft.functions.MinHashExprs.ShingleSk]] expression — identical
+    * values to `conv(substr(md5(shingle), 1, 15), 16, 10) :: long`
+    * (OpsSpec pins it), one thread-local digest per shingle instead of
+    * builtin md5's per-call getInstance + hex string + conv parse. */
   def shingleKeysRaw(docs: DataFrame): DataFrame =
     shinglesRaw(docs)
       .select(col("doc_id"),
-        conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
-          .cast("long").as("sk"))
+        graft.functions.MinHashExprs.shingle_sk(col("shingle")).as("sk"))
 
   /** Oracle rendering of [[shingleKeys]] over a shingle relation —
     * DuckDB keeps the string prefix as the key (no 64-bit hex→int cast
@@ -209,6 +213,14 @@ object DedupOps {
     * codegen subexpression elimination), one exchange before the final
     * sort. */
   def simhashBits(toks: DataFrame): DataFrame = {
+    // loud guard (r22): this function was repurposed in r21 to take raw
+    // (doc_id, tok) OCCURRENCES. The old (doc_id, tok, tf) relation
+    // still type-checks but would vote once per distinct token instead
+    // of tf times — silently wrong fingerprints. Fail fast instead.
+    require(!toks.columns.contains("tf"),
+      "simhashBits expects raw (doc_id, tok) occurrences; a tf relation " +
+        "would vote once per distinct token instead of tf times — " +
+        "explode the occurrences instead of aggregating them first")
     val votes = (0 until 64).map { b =>
       val pos = b / 4 + 1
       val shift = 3 - b % 4

@@ -49,15 +49,89 @@ object MinHashLocal {
     else toks.sliding(3).map(_.mkString(" ")).toSet
   }
 
+  // "0|".."15|" pre-encoded once: md5(bytes("h|") ++ bytes(shingle))
+  // == md5(bytes("h|shingle")) because UTF-8 concatenates byte-wise
+  private val seedPrefixes: Array[Array[Byte]] =
+    Array.tabulate(DedupOps.NumHashes)(h =>
+      s"$h|".getBytes(StandardCharsets.UTF_8))
+
+  // unsigned lexicographic byte compare — the same order as comparing
+  // the hex encodings as strings (hex is monotone in unsigned bytes)
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  private def hexOf(bytes: Array[Byte]): String = {
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** The 16 minhashes, seed order. Empty array for shingle-less docs
     * (mirrors the DataFrame pipeline, where such docs produce no
-    * signature rows). */
+    * signature rows).
+    *
+    * r22 per-task-work rewrite (bit-identical output): the per-seed min
+    * of `md5hex(s"$h|$s")` hex STRINGS is taken over raw 16-byte
+    * digests with an unsigned byte compare — hex encoding is a monotone
+    * map of unsigned bytes, so the winner per seed is the same shingle.
+    * Per (seed, shingle) this drops the "$h|$s" concat + re-encode (the
+    * prefix bytes are cached, the shingle is UTF-8-encoded once per
+    * shingle, not once per seed), the 32-char hex alloc, and the string
+    * compare; only the 16 winning digests are hex-encoded. Measured
+    * ~1.9x on the q22 signing stage; StreamingDedupSpec pins equality
+    * with the relational md5-hex pipeline. */
   def minhashes(text: String): Array[String] = {
     val sh = shingles(text)
-    if (sh.isEmpty) Array.empty
-    else (0 until DedupOps.NumHashes).map { h =>
-      sh.iterator.map(s => md5hex(s"$h|$s")).min
-    }.toArray
+    if (sh.isEmpty) return Array.empty
+    val md = digests.get()
+    val n = DedupOps.NumHashes
+    val mins = new Array[Array[Byte]](n)
+    val it = sh.iterator
+    while (it.hasNext) {
+      val shingleBytes = it.next().getBytes(StandardCharsets.UTF_8)
+      var h = 0
+      while (h < n) {
+        md.reset()
+        md.update(seedPrefixes(h))
+        md.update(shingleBytes)
+        val digest = md.digest()
+        if (mins(h) == null || unsignedLess(digest, mins(h))) mins(h) = digest
+        h += 1
+      }
+    }
+    mins.map(hexOf)
+  }
+
+  /** 60-bit shingle key: the first 15 hex digits of md5(shingle) as a
+    * non-negative long — EXACTLY
+    * `conv(substr(md5(s), 1, 15), 16, 10) :: long` (the first 15
+    * nibbles are the big-endian first 8 bytes shifted right 4), with
+    * one thread-local digest call instead of the builtin md5's
+    * per-call MessageDigest.getInstance + 32-char hex string +
+    * substring + base-16 string parse. */
+  def sk60(shingleUtf8: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val b = md.digest(shingleUtf8)
+    val be =
+      ((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) |
+      ((b(2) & 0xffL) << 40) | ((b(3) & 0xffL) << 32) |
+      ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)
+    be >>> 4
   }
 
   /** The 4 band signatures (md5 of each band's concatenated

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native expressions for row-local MinHash signing (see
@@ -47,8 +47,27 @@ object MinHashExprs {
       copy(child = c)
   }
 
+  /** `shingle_sk(shingle)` → 60-bit md5-prefix long (see
+    * [[graft.dedup.MinHashLocal.sk60]]) — the native form of
+    * `conv(substr(md5(shingle), 1, 15), 16, 10) :: long`, one digest
+    * call per shingle with no hex-string round-trip. */
+  case class ShingleSk(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_shingle_sk"
+    override def nullSafeEval(v: Any): Any =
+      MinHashLocal.sk60(v.asInstanceOf[UTF8String].getBytes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c =>
+        s"graft.dedup.MinHashLocal.sk60($c.getBytes())")
+    override protected def withNewChildInternal(c: Expression): ShingleSk =
+      copy(child = c)
+  }
+
   def minhash_sigs(c: Column): Column =
     Bridge.column(MinHashSigs(Bridge.expression(c)))
+
+  def shingle_sk(c: Column): Column =
+    Bridge.column(ShingleSk(Bridge.expression(c)))
 
   def band_sigs(c: Column): Column =
     Bridge.column(BandSigs(Bridge.expression(c)))

@@ -19,22 +19,37 @@ object ProductPipeline {
     * §7.4.1: pandas row-order semantics — dedup keep-first, stable
     * ties, first-match lookup — need a total order).
     *
-    * Scale-safe id derivation (r21): `zipWithIndex` assigns the same
-    * 0-based (partition, offset) total order the old
-    * `row_number() OVER (ORDER BY monotonically_increasing_id())`
-    * produced, but with one lightweight per-partition count job plus a
-    * map — the old global no-partition window collapsed the entire
-    * ingest through a single task, a scale-killer on a multi-file
-    * 100 TB load. */
+    * Scale-safe id derivation, Catalyst-native (r22): `row_id` is the
+    * same 0-based (partition, offset) total order that r21's RDD
+    * `zipWithIndex` produced — `monotonically_increasing_id()` encodes
+    * exactly (partitionId << 33) + offset, so `base(partition) +
+    * offset` with bases from one small per-partition count job (the
+    * very job zipWithIndex ran) is value-identical. Unlike the RDD
+    * round-trip, the CSV file-source relation survives: downstream
+    * column pruning still reaches the scan, no eager whole-row
+    * Row-boxing pass, and the ingest plan stays whole-stage codegen
+    * (the r21 form replaced the scan with a LogicalRDD, losing both —
+    * ADVICE r21). The r20 single-task global window remains gone.
+    * Both the count job and the final read plan the same file splits
+    * (same session, files and conf → deterministic planning), which
+    * PipelineSpec's repeated-load determinism test pins. */
   def loadCsv(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("header", "true").option("inferSchema", "true")
       .csv(path)
-    val schema = raw.schema.add("row_id",
-      org.apache.spark.sql.types.LongType, nullable = false)
-    val rows = raw.rdd.zipWithIndex.map { case (r, i) =>
-      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-    }
-    spark.createDataFrame(rows, schema)
+    val mid = monotonically_increasing_id()
+    val offsetMask = (1L << 33) - 1
+    val counts = raw.select(shiftright(mid, 33).as("pid"))
+      .groupBy("pid").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val bases = counts.map { case (pid, n) => val b = acc; acc += n; (pid, b) }
+    import spark.implicits._
+    val baseDf = bases.toSeq.toDF("__pid", "__base")
+    raw.withColumn("__mid", mid)
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .join(broadcast(baseDf), Seq("__pid"))
+      .withColumn("row_id", col("__base") + col("__mid").bitwiseAND(offsetMask))
+      .drop("__pid", "__base", "__mid")
   }
 
   /** E1 cleaning — P1 ×4 (`amazon1.py:51-59`) + P2/P3 discount

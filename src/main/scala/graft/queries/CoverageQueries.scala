@@ -174,12 +174,23 @@ object CoverageQueries {
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) {
     (s, dir) =>
-      Tables(s, dir, "lineitem")
+      // r22 (guide §2.3 aggregate-before-expand): ROLLUP plans an
+      // Expand that triples every input row before aggregating; the
+      // leaf grouping (l_returnflag, l_linestatus) is pre-aggregated
+      // first — integer-exact counts and cent sums — so the Expand and
+      // the rollup aggregation run over the handful of leaf groups
+      // instead of the full table. count(*) ≡ Σ leaf counts and the
+      // decimal cent sums re-add exactly, so every subtotal is
+      // bit-identical to the direct rollup (oracle hash-match).
+      val leaf = Tables(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_linestatus"),
           CleanOps.cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("cnt"),
-          round(sum(col("rev_c").cast("decimal(38,0)")).cast("double") / 100.0, 2).as("revenue"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt0"),
+          sum(col("rev_c").cast("decimal(38,0)")).as("rev0"))
+      leaf.rollup("l_returnflag", "l_linestatus")
+        .agg(sum(col("cnt0")).as("cnt"),
+          round(sum(col("rev0")).cast("double") / 100.0, 2).as("revenue"))
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 

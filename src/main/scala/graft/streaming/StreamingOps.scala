@@ -76,31 +76,38 @@ object StreamingOps {
     events.join(org.apache.spark.sql.functions.broadcast(static), Seq(key), "left")
 
   /** Custom streaming state via KeyValueGroupedDataset: running
-    * per-user event count (the minimal mapGroupsWithState shape a
-    * user extends for bespoke state machines). Per-user state expires
+    * per-user event count (the minimal stateful-map shape a user
+    * extends for bespoke state machines). Per-user state expires
     * after `stateTtlMs` of processing-time inactivity (default 30 min)
     * so an unbounded user population cannot grow state forever; a user
     * returning after expiry restarts from zero. `stateTtlMs = 0`
     * disables expiry (exact mode for bounded replays — see
     * [[graft.streaming.StreamingDedup.candidates]] on why
-    * drain-and-assert harnesses need NoTimeout). */
+    * drain-and-assert harnesses need NoTimeout).
+    *
+    * r22 (output contract fix): expiry emits NOTHING. The r21 form
+    * (mapGroupsWithState) had to return a value from the timeout
+    * invocation and emitted a duplicate final `(uid, last)` record
+    * NoTimeout mode never produced; as flatMapGroupsWithState the
+    * timeout path returns an empty iterator, so the emitted stream is
+    * identical in both modes — TTL only bounds state size. */
   def runningUserCounts(events: Dataset[Event],
       stateTtlMs: Long = 30L * 60 * 1000): Dataset[(Long, Long)] = {
     import events.sparkSession.implicits._
     val timeoutConf = if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout
       else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .mapGroupsWithState[Long, (Long, Long)](timeoutConf) {
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Update, timeoutConf) {
         (uid, rows, state) =>
           if (state.hasTimedOut) {
-            val last = state.getOption.getOrElse(0L)
-            state.remove()
-            (uid, last) // final emission for the expiring key
+            state.remove() // idle user: drop the count, emit nothing
+            Iterator.empty
           } else {
             val n = state.getOption.getOrElse(0L) + rows.size
             state.update(n)
             if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
-            (uid, n)
+            Iterator((uid, n))
           }
       }
   }

@@ -138,6 +138,40 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dot_q runs inside a WholeStageCodegen span") {
+    import spark.implicits._
+    // the r21 HOF fold was CodegenFallback — the sims projection ran
+    // interpreted; the native expression must keep the stage codegen'd
+    val vecs = EmbeddingOps.quantizedVec(
+      Seq.tabulate(20)(v =>
+        (v.toLong, Array.tabulate(64)(i => math.sin(v + i * 0.3).toFloat)))
+        .toDF("vec_id", "embedding"))
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("i", "j")
+    val df = EmbeddingOps.simsVec(vecs, pairs)
+    df.collect() // drive THIS Dataset's QueryExecution so AQE finalizes
+    // the AQE final plan marks whole-stage-codegen'd operators "*(n)";
+    // the projection computing graft_dot_q must carry the marker
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("isFinalPlan=true"), s"plan not finalized:\n$plan")
+    val projLines = plan.linesIterator
+      .filter(l => l.contains("Project") && l.contains("graft_dot_q")).toSeq
+    assert(projLines.nonEmpty, s"no dot_q projection in plan:\n$plan")
+    assert(projLines.exists(_.contains("*(")),
+      s"dot_q projection not codegen'd:\n${projLines.mkString("\n")}")
+  }
+
+  test("shingle_sk matches conv(substr(md5, 1, 15), 16, 10)") {
+    import spark.implicits._
+    val df = Seq("aa bb cc", "the quick brown", "x" * 200, "", "ünïcode ok")
+      .toDF("shingle")
+    val rows = df.select(
+      graft.functions.MinHashExprs.shingle_sk(col("shingle")).as("native"),
+      conv(substring(md5(col("shingle").cast("binary")), 1, 15), 16, 10)
+        .cast("long").as("sql")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    assert(rows.forall(_.getLong(0) >= 0L))
+  }
+
   test("decodeStub is deterministic; decodeAll keeps every row") {
     val media = docs(1L -> "hello", 2L -> "a longer payload here", 3L -> "")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))

@@ -142,8 +142,14 @@ class PipelineSpec extends AnyFunSuite {
     val keyA = a.select("name", "row_id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val keyB = b.select("name", "row_id").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(keyA == keyB, "row_id assignment deterministic across loads")
-    assert(!a.queryExecution.executedPlan.toString.contains("Window"),
-      "no global window at ingest")
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "no global window at ingest")
+    // r22: row_id derivation is Catalyst-native — the CSV file-source
+    // relation must survive (column pruning reaches the scan) instead
+    // of being swallowed by an RDD round-trip
+    assert(!plan.contains("ExistingRDD") && !plan.contains("Scan rdd"),
+      "no RDD scan at ingest")
+    assert(plan.contains("Scan csv"), "CSV file-source scan survives")
   }
 
   test("E1: top-10 sorts by count desc with nulls last") {

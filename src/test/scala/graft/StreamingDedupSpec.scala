@@ -95,8 +95,11 @@ class StreamingDedupSpec extends AnyFunSuite {
       awaitTrue("doc 2's fresh buckets in state")(stateKeys() == 4)
       assert(spark.table("neardup_ttl").count() == 0,
         "no candidate pair: doc 1 was forgotten before doc 2 arrived")
-      // within-TTL liveness: doc 1 re-arrives while doc 2 is live
-      src.addData(Doc(1, a))
+      // liveness: docs 1 and 2 arrive in ONE batch, so the pair
+      // emission cannot race the TTL — even if doc 2's buckets expired
+      // during the asserts above (GC pause, loaded CI), the two docs
+      // collide within the batch itself and the pair is emitted
+      src.addData(Doc(1, a), Doc(2, aNear))
       awaitTrue("live buckets emit the candidate pair")(
         spark.table("neardup_ttl").filter("i = 1 AND j = 2").count() > 0)
     } finally q.stop()
