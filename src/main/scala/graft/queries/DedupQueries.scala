@@ -70,8 +70,11 @@ object DedupQueries {
     // bucket-join for candidates, then build shingle sets ONLY for
     // candidate docs: the full corpus never pays the explode+window
     // shingle pipeline, just one map-side signing pass
-    val docs = Tables.spread(
-      DedupOps.augmented(Tables(s, dir, "documents")))
+    // r22: spread keyed by doc_id — same bytes as round-robin, and the
+    // shk branch's (doc_id, sk) distinct + per-doc counts then run on
+    // THIS exchange (the separate repartition(doc_id) it used is gone)
+    val docs = Tables.spreadBy(
+      DedupOps.augmented(Tables(s, dir, "documents")), col("doc_id"))
     // repartition by the join key BEFORE persisting: the cached
     // partitioning serves both sides of the (band, sig) self-join, so
     // the join itself is exchange-free (2 post-cache exchanges → 0)
@@ -93,9 +96,12 @@ object DedupQueries {
     // a fraction of the shuffle bytes; the doc_id repartition feeds the
     // (doc_id, sk) distinct AND the per-doc counts aggregation off one
     // exchange
+    // the docs spread above is doc_id-keyed and survives the broadcast
+    // semi-join and the shingle explode, so the (doc_id, sk) distinct
+    // and the per-doc counts aggregate here without any exchange of
+    // their own (r21 needed an explicit repartition(doc_id) for this)
     val shk = DedupOps.shingleKeysRaw(
         docs.join(broadcast(candIds), Seq("doc_id"), "left_semi"))
-      .repartition(col("doc_id"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     DedupOps.jaccard(cand, shk, key = "sk")
