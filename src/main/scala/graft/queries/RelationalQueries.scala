@@ -221,15 +221,22 @@ object RelationalQueries {
       val li = Tables(s, dir, "lineitem")
       val discounted = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
       val diff = col("l_extendedprice") - discounted
-      li.select(
-        col("l_orderkey"), col("l_linenumber"),
-        col("l_extendedprice").as("actual_price"),
-        discounted.as("discounted_price"),
-        diff.as("discount_diff"),
-        CleanOps.fillClamp(
-          diff / nullif(col("l_extendedprice"), lit(0.0)) * 100.0,
-          0.0, 0.0, 100.0).as("discount_pct"))
+      // r22 (guide §2.3 — project before the exchange): the four
+      // derived doubles are computed ABOVE the declared global sort, so
+      // the range-partition exchange and the sort carry the two base
+      // measures instead of six doubles (20.3 MB → ~2/3 of that,
+      // measured via the bench shuffle-byte meta). Project preserves
+      // row order, so output rows are byte-identical.
+      li.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
         .orderBy("l_orderkey", "l_linenumber")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice").as("actual_price"),
+          discounted.as("discounted_price"),
+          diff.as("discount_diff"),
+          CleanOps.fillClamp(
+            diff / nullif(col("l_extendedprice"), lit(0.0)) * 100.0,
+            0.0, 0.0, 100.0).as("discount_pct"))
   }
 
   /** A6 — word frequency over `documents.text` (`amazon1.py:104-106`
