@@ -43,7 +43,11 @@ object VecExprs {
     var i = 0
     while (i < n) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      s += a.getLong(i) * b.getLong(i)
+      // exact ops: the sessions run ANSI mode (Spark 4 default), where
+      // the old SQL fold threw on long overflow — multiplyExact/addExact
+      // are JIT intrinsics (free when not overflowing) with the same
+      // fail-loudly behavior
+      s = Math.addExact(s, Math.multiplyExact(a.getLong(i), b.getLong(i)))
       i += 1
     }
     java.lang.Long.valueOf(s)
@@ -61,6 +65,12 @@ object VecExprs {
     while (i < n) {
       if (!a.isNullAt(i)) {
         val d = a.getFloat(i).toDouble * scale
+        // non-finite values fail loudly, like the old expression chain
+        // did under ANSI mode (Spark 4 default): Round passes NaN/Inf
+        // through and the ANSI long cast throws CAST_OVERFLOW
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+          throw new ArithmeticException(
+            s"graft_quantize_vec: non-finite value $d cannot be cast to BIGINT")
         out(i) = java.lang.Long.valueOf(
           java.math.BigDecimal.valueOf(d)
             .setScale(0, RoundingMode.HALF_UP).doubleValue().toLong)
@@ -109,7 +119,10 @@ object VecExprs {
         var d = 0
         while (d < dims) {
           if (!qv.isNullAt(d)) {
-            proj += wp(d) * qv.getLong(d)
+            // exact ops: fail-loudly overflow parity with the old ANSI
+            // SQL sum(wt * q) (intrinsics — free when not overflowing)
+            proj = Math.addExact(proj,
+              Math.multiplyExact(wp(d), qv.getLong(d)))
             anyNonNull = true
           }
           d += 1

@@ -117,6 +117,17 @@ class OpsSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getSeq[Long](0) == r.getSeq[Long](1))
     }
+    // non-finite values fail loudly in BOTH forms: under ANSI mode
+    // (the Spark 4 default these sessions run) the old chain's long
+    // cast throws CAST_OVERFLOW; the native expression throws too
+    val nan = Seq(Array(Float.NaN)).toDF("embedding")
+    intercept[Exception] {
+      nan.select(old.as("hof")).collect()
+    }
+    intercept[Exception] {
+      nan.select(graft.functions.VecExprs.quantize_vec(
+        col("embedding"), EmbeddingOps.QuantScale).as("native")).collect()
+    }
   }
 
   test("bucket_strs matches the long-form buckets pipeline (ppt 4 and 8)") {
