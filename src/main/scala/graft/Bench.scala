@@ -110,7 +110,10 @@ object Bench {
       normalizeV1(plan)
         .replace(sfDir, "<SF_DIR>")
         .replaceAll("\\$\\$?Lambda[$/][^,\\s)\\]]*", "\\$\\$Lambda\\$x")
-        .replaceAll("@[0-9a-f]{6,16}\\b", "@x")
+        // {1,16}: Integer.toHexString of an identity hash can be as
+        // short as one digit — a 6-digit lower bound would let rare
+        // short hashcodes flip the hash on identical code
+        .replaceAll("@[0-9a-f]{1,16}\\b", "@x")
     // per-query shuffle-byte observability (r22): a SparkListener sums
     // task-level shuffle-write bytes/records for the jobs of each
     // query's meta-pass noop execution (matched via the thread-local
@@ -147,8 +150,10 @@ object Bench {
         }
       })
     def shuffleBytes(name: String): Option[(Long, Long)] = {
-      // listener bus is async — give the last task-end events a moment
-      Thread.sleep(300)
+      // listener bus is async — drain it deterministically so the last
+      // task-end events are counted (a fixed sleep undercounts on a
+      // loaded host)
+      org.apache.spark.sql.graft.Bridge.drainListeners(spark.sparkContext)
       Option(shuffleAgg.get(name)).map(a => (a(0), a(1)))
     }
     // deterministic static-plan fingerprint: expression ids and plan

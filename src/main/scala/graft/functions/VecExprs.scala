@@ -71,9 +71,14 @@ object VecExprs {
         if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
           throw new ArithmeticException(
             s"graft_quantize_vec: non-finite value $d cannot be cast to BIGINT")
-        out(i) = java.lang.Long.valueOf(
-          java.math.BigDecimal.valueOf(d)
-            .setScale(0, RoundingMode.HALF_UP).doubleValue().toLong)
+        val rounded = java.math.BigDecimal.valueOf(d)
+          .setScale(0, RoundingMode.HALF_UP).doubleValue()
+        // finite but beyond long range also threw under the old ANSI
+        // cast — don't let Double.toLong silently saturate
+        if (rounded < -9.223372036854776e18 || rounded >= 9.223372036854776e18)
+          throw new ArithmeticException(
+            s"graft_quantize_vec: $rounded overflows BIGINT")
+        out(i) = java.lang.Long.valueOf(rounded.toLong)
       }
       i += 1
     }

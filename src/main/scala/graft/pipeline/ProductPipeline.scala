@@ -45,10 +45,19 @@ object ProductPipeline {
     val bases = counts.map { case (pid, n) => val b = acc; acc += n; (pid, b) }
     import spark.implicits._
     val baseDf = bases.toSeq.toDF("__pid", "__base")
+    // LEFT join + loud guard: the counts job and this read plan the
+    // same splits in practice (same session/files/conf), but if they
+    // ever diverge, a pid unseen by the counts job must FAIL the load
+    // — an inner join would silently drop its rows instead
     raw.withColumn("__mid", mid)
       .withColumn("__pid", shiftright(col("__mid"), 33))
-      .join(broadcast(baseDf), Seq("__pid"))
-      .withColumn("row_id", col("__base") + col("__mid").bitwiseAND(offsetMask))
+      .join(broadcast(baseDf), Seq("__pid"), "left")
+      .withColumn("row_id",
+        when(col("__base").isNull, raise_error(concat(
+          lit("loadCsv: partition planning diverged between the " +
+            "per-partition count job and the read (pid "),
+          col("__pid"), lit(" has no base offset)"))).cast("long"))
+          .otherwise(col("__base") + col("__mid").bitwiseAND(offsetMask)))
       .drop("__pid", "__base", "__mid")
   }
 

@@ -12,4 +12,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Deterministic listener-bus drain (`listenerBus` is
+    * `private[spark]`): lets bench tooling read listener-accumulated
+    * metrics (per-query shuffle bytes) without racing the async bus. */
+  def drainListeners(sc: org.apache.spark.SparkContext): Unit =
+    try sc.listenerBus.waitUntilEmpty() catch { case _: Throwable => () }
 }
